@@ -1,0 +1,189 @@
+"""Jittable adaptive Dormand-Prince inspiral integrator with dense knots.
+
+TPU-native replacement for the reference engine's C++ adaptive RK8 trajectory
+stepper (``few.trajectory.inspiral.EMRIInspiral``; sparse-knot contract pinned
+at reference notebook cell 3: ``DENSE_STEPPING: 0, max_init_len: 1e3`` — the
+ODE's own adaptive steps ARE the output knots that all downstream splines are
+fit at).
+
+Design constraints that shape this module:
+* everything under `jit`/`vmap` needs static shapes -> the integrator runs a
+  fixed-budget `lax.while_loop` writing accepted steps into a preallocated
+  ``(max_steps,)`` knot buffer, returning the live count; unused tail is
+  padded with a strictly-increasing time ramp and constant state so that
+  downstream spline fits stay well-posed (consumers mask segments >= n_knots).
+* early termination (separatrix reached / horizon time reached) is a `done`
+  flag in the carry, so vmapped lanes simply idle once finished.
+* trial steps can leave the bound-orbit domain (sqrt of negatives -> NaN);
+  NaN error norms are treated as rejections with a step-size cut.
+
+Integrator: Dormand-Prince 5(4) with a standard PI step controller. The
+reference uses DOP853; DP5 at rtol ~1e-11 yields a comparable knot count
+(~O(100)/year) and phase error well below the 1e-4 mismatch gate.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+# Dormand-Prince 5(4) tableau.
+_A = (
+    (),
+    (1 / 5,),
+    (3 / 40, 9 / 40),
+    (44 / 45, -56 / 15, 32 / 9),
+    (19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729),
+    (9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656),
+    (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84),
+)
+_B5 = (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0)
+_B4 = (5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200, 187 / 2100, 1 / 40)
+
+
+class InspiralKnots(NamedTuple):
+    """Adaptive-step output of one inspiral integration (static shapes)."""
+
+    t: jax.Array  # (max_steps,) geometric time, strictly increasing incl. pad
+    y: jax.Array  # (max_steps, 4) state [p, e, Phi_phi, Phi_r]; pad = last
+    n: jax.Array  # () int32: number of live knots (<= max_steps)
+
+
+def integrate_inspiral(
+    rhs: Callable[[jax.Array], jax.Array],
+    stop: Callable[[jax.Array], jax.Array],
+    y0: jax.Array,
+    t_max: jax.Array,
+    *,
+    max_steps: int = 512,
+    rtol: float = 1e-11,
+    atol: float = 1e-11,
+    h0: float = 100.0,
+    h_max_frac: float = 1.0 / 128.0,
+    max_iters: int | None = None,
+) -> InspiralKnots:
+    """Integrate ``dy/dt = rhs(y)`` from t=0 until ``stop(y)`` or ``t_max``.
+
+    Args:
+      rhs: state -> dstate/dt (autonomous; (4,) -> (4,)).
+      stop: state -> bool, terminate when True (checked on accepted steps;
+        the step size is also refined so the final knot lands near the stop
+        surface via step-halving once stop would trigger).
+      y0: initial state (4,).
+      t_max: horizon in geometric time.
+      max_steps: static knot-buffer size.
+      rtol/atol: local error control.
+      h_max_frac: cap on the step size as a fraction of t_max. The knots are
+        consumed by downstream cubic-spline fits (phase/amplitude/frequency
+        interpolation between knots), so knot density — not ODE local error —
+        sets the waveform accuracy floor; ~128 knots/horizon keeps the spline
+        interpolation error of the ~1e6-rad phases well under the mismatch
+        gate while the error controller still refines near the separatrix.
+
+    Returns:
+      InspiralKnots; knot 0 is the initial condition.
+    """
+    if max_iters is None:
+        max_iters = 4 * max_steps
+
+    dtype = y0.dtype
+    t_buf = jnp.zeros((max_steps,), dtype)
+    y_buf = jnp.zeros((max_steps, y0.shape[0]), dtype).at[0].set(y0)
+
+    def one_step(t, y, h):
+        k = []
+        for i in range(7):
+            yi = y
+            for j, aij in enumerate(_A[i]):
+                yi = yi + h * aij * k[j]
+            k.append(rhs(yi))
+        y5 = y
+        y4 = y
+        for i in range(7):
+            y5 = y5 + h * _B5[i] * k[i]
+            y4 = y4 + h * _B4[i] * k[i]
+        err = y5 - y4
+        scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y5))
+        err_norm = jnp.sqrt(jnp.mean((err / scale) ** 2))
+        err_norm = jnp.where(jnp.isnan(err_norm), jnp.inf, err_norm)
+        return y5, err_norm
+
+    class Carry(NamedTuple):
+        t: jax.Array
+        y: jax.Array
+        h: jax.Array
+        t_buf: jax.Array
+        y_buf: jax.Array
+        count: jax.Array
+        done: jax.Array
+        iters: jax.Array
+
+    def cond(c: Carry):
+        return (~c.done) & (c.iters < max_iters) & (c.count < max_steps)
+
+    def body(c: Carry):
+        h = jnp.minimum(c.h, t_max - c.t)  # land exactly on t_max
+        y_new, err_norm = one_step(c.t, c.y, h)
+        accept = err_norm <= 1.0
+        # PI-ish controller with safety factor and clamps
+        fac = jnp.clip(0.9 * jnp.where(err_norm > 0, err_norm, 1e-16) ** -0.2, 0.2, 5.0)
+        h_next = jnp.clip(
+            c.h * jnp.where(accept, fac, jnp.minimum(fac, 1.0)), 1e-6, t_max * h_max_frac
+        )
+
+        t_new = c.t + h
+        hit_stop = stop(y_new)
+        hit_tmax = t_new >= t_max * (1.0 - 1e-12)
+        # If the step would cross the stop surface, refine: reject and halve
+        # (unless the step is already tiny -> accept and finish).
+        tiny = h <= jnp.maximum(1e-3, 1e-9 * t_max)
+        accept_final = accept & (~hit_stop | tiny)
+        reject_for_stop = accept & hit_stop & ~tiny
+
+        do_write = accept_final
+        count_new = jnp.where(do_write, c.count + 1, c.count)
+        idx = jnp.minimum(c.count, max_steps - 1)
+        t_buf = jnp.where(do_write, c.t_buf.at[idx].set(t_new), c.t_buf)
+        y_buf = jnp.where(do_write, c.y_buf.at[idx].set(y_new), c.y_buf)
+
+        done = accept_final & (hit_stop | hit_tmax)
+        h_carry = jnp.where(reject_for_stop, h * 0.5, h_next)
+        return Carry(
+            t=jnp.where(accept_final, t_new, c.t),
+            y=jnp.where(accept_final, y_new, c.y),
+            h=h_carry,
+            t_buf=t_buf,
+            y_buf=y_buf,
+            count=count_new,
+            done=done,
+            iters=c.iters + 1,
+        )
+
+    init = Carry(
+        t=jnp.asarray(0.0, dtype),
+        y=y0,
+        h=jnp.asarray(h0, dtype),
+        t_buf=t_buf,
+        y_buf=y_buf,
+        count=jnp.asarray(1, jnp.int32),  # knot 0 = IC
+        done=jnp.asarray(False),
+        iters=jnp.asarray(0, jnp.int32),
+    )
+    final = jax.lax.while_loop(cond, body, init)
+
+    n = final.count
+    # Pad the tail: strictly-increasing time ramp, constant state.
+    idxs = jnp.arange(max_steps)
+    last_t = final.t_buf[jnp.maximum(n - 1, 0)]
+    last_y = final.y_buf[jnp.maximum(n - 1, 0)]
+    pad_dt = jnp.maximum(last_t / jnp.maximum(n.astype(dtype), 1.0), 1.0)
+    t_pad = last_t + pad_dt * (idxs - (n - 1)).astype(dtype)
+    live = idxs < n
+    t_out = jnp.where(live, final.t_buf, t_pad)
+    y_out = jnp.where(live[:, None], final.y_buf, last_y[None, :])
+    return InspiralKnots(t=t_out, y=y_out, n=n)
+
+
+__all__ = ["InspiralKnots", "integrate_inspiral"]

@@ -1,0 +1,117 @@
+"""Trajectory-layer tests: geodesics, fluxes, adaptive integration."""
+
+import numpy as np
+import scipy.special
+import jax
+import jax.numpy as jnp
+
+from emri_frequencydomainwaveforms_tpu.models.geodesic import (
+    darwin_orbit,
+    energy_angmom,
+    fundamental_frequencies,
+    separatrix,
+)
+from emri_frequencydomainwaveforms_tpu.models.flux import pdot_edot
+from emri_frequencydomainwaveforms_tpu.models.inspiral import (
+    EMRIInspiral,
+    get_p_at_t,
+    inspiral_duration,
+    schwarz_ecc_flux_inspiral,
+)
+from emri_frequencydomainwaveforms_tpu.utils.constants import MTSUN_SI, YRSID_SI
+
+
+class TestGeodesic:
+    def test_circular_limit_frequencies(self):
+        # e=0: Omega_phi = 1/p^{3/2} (Schwarzschild circular), and
+        # Omega_r^2 = (p-6)/p^4 (radial epicyclic frequency).
+        for p in [8.0, 10.0, 20.0, 50.0]:
+            om_phi, om_r = fundamental_frequencies(jnp.array(p), jnp.array(1e-12))
+            np.testing.assert_allclose(float(om_phi), p**-1.5, rtol=1e-10)
+            np.testing.assert_allclose(float(om_r), np.sqrt((p - 6.0) / p**4), rtol=1e-8)
+
+    def test_periapsis_advance_closed_form(self):
+        # Dphi = 4 sqrt(p/(p-6+2e)) K(m), m = 4e/(p-6+2e)  (Darwin/CKP)
+        for p, e in [(10.0, 0.3), (8.0, 0.5), (7.2, 0.4), (12.0, 0.7)]:
+            orbit = darwin_orbit(jnp.array(p), jnp.array(e))
+            m = 4 * e / (p - 6 + 2 * e)
+            expect = 4 * np.sqrt(p / (p - 6 + 2 * e)) * scipy.special.ellipk(m)
+            np.testing.assert_allclose(float(orbit["Dphi"]), expect, rtol=1e-9)
+
+    def test_energy_angmom_newtonian_limit(self):
+        # large p: E -> 1 - (1-e^2)/(2p), L -> sqrt(p)
+        p, e = 1e4, 0.3
+        energy, angmom = energy_angmom(jnp.array(p), jnp.array(e))
+        np.testing.assert_allclose(float(energy), 1 - (1 - e**2) / (2 * p), rtol=1e-6)
+        np.testing.assert_allclose(float(angmom), np.sqrt(p), rtol=1e-3)
+
+    def test_orbit_time_consistency(self):
+        # t(chi=2pi grid end) + last step ~ T_r; r range = [p/(1+e), p/(1-e)]
+        p, e = 9.0, 0.45
+        orbit = darwin_orbit(jnp.array(p), jnp.array(e))
+        r = np.asarray(orbit["r"])
+        np.testing.assert_allclose(r.min(), p / (1 + e), rtol=1e-12)
+        assert r.max() <= p / (1 - e) + 1e-9
+        t = np.asarray(orbit["t"])
+        assert np.all(np.diff(t) > 0)
+
+
+class TestFlux:
+    def test_peters_newtonian_limit(self):
+        # large p: pdot -> -(64/5) p^-3 (1-e^2)^{3/2} (1 + 7/8 e^2 ...)
+        p, e = 1e3, 0.2
+        pdot, edot = pdot_edot(jnp.array(p), jnp.array(e))
+        expect_pdot = -(64.0 / 5.0) * p**-3 * (1 - e**2) ** 1.5 * (1 + 7 / 8 * e**2)
+        np.testing.assert_allclose(float(pdot), expect_pdot, rtol=2e-2)
+        assert float(edot) < 0  # eccentricity decays
+
+    def test_inspiral_sign(self):
+        pdot, edot = pdot_edot(jnp.array(8.0), jnp.array(0.4))
+        assert float(pdot) < 0 and float(edot) < 0
+
+
+class TestInspiral:
+    def test_basic_trajectory(self):
+        traj = schwarz_ecc_flux_inspiral(1e6, 10.0, 12.0, 0.35, t_years=1.0)
+        n = int(traj.n)
+        assert 20 < n <= 512
+        t = np.asarray(traj.t)
+        assert np.all(np.diff(t) > 0)  # strictly increasing incl. padding
+        p = np.asarray(traj.p[:n])
+        e = np.asarray(traj.e[:n])
+        assert np.all(np.diff(p) < 0)
+        assert p[-1] > float(separatrix(traj.e[n - 1]))
+        # ends at the 1-year horizon for this configuration
+        np.testing.assert_allclose(t[n - 1], YRSID_SI, rtol=1e-9)
+        # phases are large and increasing
+        phi = np.asarray(traj.Phi_phi[:n])
+        assert phi[-1] > 1e5 and np.all(np.diff(phi) > 0)
+
+    def test_plunging_trajectory_stops(self):
+        # heavy secondary -> fast inspiral -> separatrix inside 1 yr
+        traj = schwarz_ecc_flux_inspiral(1e6, 300.0, 9.0, 0.4, t_years=4.0)
+        n = int(traj.n)
+        p_end, e_end = float(traj.p[n - 1]), float(traj.e[n - 1])
+        assert p_end < 9.0
+        assert p_end - float(separatrix(jnp.array(e_end))) < 0.2
+        assert float(traj.t[n - 1]) < 4.0 * YRSID_SI
+
+    def test_reference_tuple_api(self):
+        traj = EMRIInspiral(func="SchwarzEccFlux")
+        t, p, e, x, phi_phi, phi_theta, phi_r = traj(1e6, 10.0, 0.0, 12.0, 0.35, 1.0, T=0.1)
+        assert t.shape == p.shape == phi_phi.shape
+        assert float(x[0]) == 1.0 and float(phi_theta[-1]) == 0.0
+
+    def test_get_p_at_t(self):
+        m, mu, e0 = 1e6, 10.0, 0.35
+        t_out = 0.99 * 1.5
+        p0 = get_p_at_t(m, mu, e0, t_out)
+        dur = inspiral_duration(m, mu, p0, e0)
+        np.testing.assert_allclose(float(dur) / YRSID_SI, t_out, rtol=1e-4)
+
+    def test_vmapped_trajectories(self):
+        p0s = jnp.array([10.0, 11.0, 12.0, 13.0])
+        f = jax.vmap(lambda p0: schwarz_ecc_flux_inspiral(1e6, 20.0, p0, 0.3, t_years=0.5))
+        trajs = f(p0s)
+        assert trajs.t.shape == (4, 512)
+        assert np.isfinite(np.asarray(trajs.p)).all()
