@@ -1,0 +1,149 @@
+"""Amplitude + Ylm convention tests.
+
+The load-bearing test reconstructs h(t) = h_+ - i h_x from the
+(A_lmn, -2Y_lm, e^{-i(m Phi_phi + n Phi_r)}) decomposition and checks it
+against an independent brute-force TT-projected quadrupole waveform computed
+by finite differences along the exact geodesic — pinning every sign,
+normalization and phase convention at once.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from emri_frequencydomainwaveforms_tpu.models.amplitude import (
+    ModeTable,
+    default_mode_table,
+    mode_amplitudes,
+)
+from emri_frequencydomainwaveforms_tpu.models.geodesic import (
+    darwin_orbit,
+    fundamental_frequencies,
+)
+from emri_frequencydomainwaveforms_tpu.utils.ylm import GetYlms, spin_weighted_ylm
+
+
+class TestYlm:
+    def test_known_closed_forms(self):
+        th, ph = 0.7, 1.3
+        re, im = spin_weighted_ylm([2, 2, 2], [2, 0, -2], th, ph)
+        y = np.asarray(re) + 1j * np.asarray(im)
+        y22 = np.sqrt(5 / (64 * np.pi)) * (1 + np.cos(th)) ** 2 * np.exp(2j * ph)
+        y20 = np.sqrt(15 / (32 * np.pi)) * np.sin(th) ** 2
+        y2m2 = np.sqrt(5 / (64 * np.pi)) * (1 - np.cos(th)) ** 2 * np.exp(-2j * ph)
+        np.testing.assert_allclose(y, [y22, y20, y2m2], rtol=1e-12)
+
+    def test_orthonormality(self):
+        # int |sYlm|^2 = 1 over the sphere (quadrature check incl. l=3,4)
+        nth, nph = 400, 80
+        th = (np.arange(nth) + 0.5) * np.pi / nth
+        ph = np.arange(nph) * 2 * np.pi / nph
+        TH, PH = np.meshgrid(th, ph, indexing="ij")
+        for l, m in [(2, 2), (2, 1), (3, 2), (4, 3), (3, -3)]:
+            re, im = spin_weighted_ylm([l], [m], jnp.asarray(TH.ravel()), jnp.asarray(PH.ravel()))
+            mag2 = (np.asarray(re[..., 0]) ** 2 + np.asarray(im[..., 0]) ** 2).reshape(nth, nph)
+            integral = np.sum(mag2 * np.sin(TH)) * (np.pi / nth) * (2 * np.pi / nph)
+            np.testing.assert_allclose(integral, 1.0, rtol=1e-5)
+
+    def test_reference_facade(self):
+        gen = GetYlms(assume_positive_m=True)
+        out = gen(np.array([2]), np.array([2]), 0.5, 0.4)
+        assert out.shape == (2,)  # (2,2) and (2,-2)
+        direct = GetYlms()(np.array([2, 2]), np.array([2, -2]), 0.5, 0.4)
+        np.testing.assert_allclose(out, direct, rtol=1e-13)
+
+
+def _reconstruct_h(p, e, theta, phi, t_grid, n_max=30):
+    """h from the A_lmn Ylm e^{-i(m Phiphi + n Phir)} mode decomposition."""
+    om_phi, om_r = fundamental_frequencies(jnp.asarray(p), jnp.asarray(e))
+    om_phi, om_r = float(om_phi), float(om_r)
+    table = default_mode_table(n_max)
+    a_re, a_im = mode_amplitudes(jnp.asarray(p), jnp.asarray(e), table)
+    amps = np.asarray(a_re) + 1j * np.asarray(a_im)
+
+    h = np.zeros_like(t_grid, dtype=complex)
+    for i, (l, m, n) in enumerate(zip(table.ls, table.ms, table.ns)):
+        ylm = GetYlms()(np.array([l, l]), np.array([m, -m]), theta, phi)
+        phase = (m * om_phi + n * om_r) * t_grid
+        h += amps[i] * ylm[0] * np.exp(-1j * phase)
+        if m > 0:  # equatorial-symmetry partner (l,-m,-n)
+            h += ((-1) ** l) * np.conj(amps[i]) * ylm[1] * np.exp(1j * phase)
+        elif m == 0:  # m=0 partner is (l,0,-n)
+            h += np.conj(amps[i]) * ylm[0] * np.exp(1j * phase)
+    return h
+
+
+def _brute_force_h(p, e, theta, phi, t_grid):
+    """TT quadrupole waveform by finite differences along the exact orbit."""
+    orbit = darwin_orbit(jnp.asarray(p), jnp.asarray(e), n_chi=1024)
+    t_orb = np.asarray(orbit["t"])
+    phi_orb = np.asarray(orbit["phi"])
+    r_orb = np.asarray(orbit["r"])
+    t_r = float(orbit["T_r"])
+    dphi_tot = float(orbit["Dphi"])
+
+    # tile 5 radial periods and spline (periodic orbit, secular azimuth)
+    from scipy.interpolate import CubicSpline
+
+    ts, rs, phis = [], [], []
+    for k in range(-2, 3):
+        ts.append(t_orb + k * t_r)
+        rs.append(r_orb)
+        phis.append(phi_orb + k * dphi_tot)
+    ts = np.concatenate(ts)
+    rs = np.concatenate(rs)
+    phis = np.concatenate(phis)
+    r_sp = CubicSpline(ts, rs)
+    phi_sp = CubicSpline(ts, phis)
+
+    dt = t_r / 4096.0
+    x = r_sp(t_grid[None, :] + dt * np.array([-1, 0, 1])[:, None]) * np.cos(
+        phi_sp(t_grid[None, :] + dt * np.array([-1, 0, 1])[:, None])
+    )
+    y = r_sp(t_grid[None, :] + dt * np.array([-1, 0, 1])[:, None]) * np.sin(
+        phi_sp(t_grid[None, :] + dt * np.array([-1, 0, 1])[:, None])
+    )
+
+    def ddot(q):
+        return (q[0] - 2 * q[1] + q[2]) / dt**2
+
+    qxx = ddot(x * x)
+    qyy = ddot(y * y)
+    qxy = ddot(x * y)
+
+    ct, st = np.cos(theta), np.sin(theta)
+    cp, sp = np.cos(phi), np.sin(phi)
+    # w = e_theta - i e_phi; h = (1/R) w^i w^j Qdd_ij (mu/R stripped)
+    wx = ct * cp + 1j * sp
+    wy = ct * sp - 1j * cp
+    return wx * wx * qxx + 2 * wx * wy * qxy + wy * wy * qyy
+
+
+class TestQuadrupoleAmplitudes:
+    def test_mode_sum_matches_brute_force(self):
+        p, e = 10.0, 0.3
+        orbit = darwin_orbit(jnp.asarray(p), jnp.asarray(e))
+        t_r = float(orbit["T_r"])
+        t_grid = np.linspace(0.13 * t_r, 2.6 * t_r, 40)
+        for theta, phi in [(0.8, 0.3), (2.2, 4.0), (1.5707, 1.0)]:
+            h_modes = _reconstruct_h(p, e, theta, phi, t_grid)
+            h_direct = _brute_force_h(p, e, theta, phi, t_grid)
+            scale = np.max(np.abs(h_direct))
+            np.testing.assert_allclose(h_modes / scale, h_direct / scale, atol=2e-5)
+
+    def test_circular_limit(self):
+        # e -> 0: only n=0 of (2,2) survives; |A| = 2 sqrt(pi/5) (2 Om)^2 p^2
+        p = 12.0
+        table = ModeTable(np.array([2, 2]), np.array([2, 2]), np.array([0, 1]))
+        a_re, a_im = mode_amplitudes(jnp.asarray(p), jnp.asarray(1e-10), table)
+        om_phi, _ = fundamental_frequencies(jnp.asarray(p), jnp.asarray(1e-10))
+        expect = 2 * np.sqrt(np.pi / 5) * (2 * float(om_phi)) ** 2 * p**2
+        np.testing.assert_allclose(abs(float(a_re[0]) + 1j * float(a_im[0])), expect, rtol=1e-6)
+        assert abs(float(a_re[1])) < 1e-8 * expect  # n=1 harmonic vanishes
+
+    def test_batched_over_knots(self):
+        table = default_mode_table(8)
+        ps = jnp.linspace(8.0, 12.0, 7)
+        es = jnp.linspace(0.1, 0.4, 7)
+        re, im = mode_amplitudes(ps, es, table)
+        assert re.shape == (7, table.num_modes)
+        assert np.isfinite(np.asarray(re)).all() and np.isfinite(np.asarray(im)).all()
