@@ -1,0 +1,205 @@
+"""Noise-weighted inner products, SNR, Fisher/covariance diagnostics.
+
+Rebuilds the reference's ``LISAanalysistools/lisatools/diagnostic.py``
+capability surface (pinned at reference ``diagnostic.py:14`` inner_product
+with right-rule df and 4 Re sum(a* b)/PSD, ``:112-139`` normalized overlap,
+``:173`` snr, ``:207`` dh_dlambda 5-point stencil, ``:300`` fisher, ``:389``
+covariance incl. high-precision inverse option, ``:489`` mismatch_criterion,
+``:760`` cutler_vallisneri_bias, ``:843`` scale_snr).
+
+The numerical core works on complex numpy arrays (host-side analysis; the
+sampler's jitted likelihood has its own fused whitened path in
+``lisa.likelihood``). Derivatives for Fisher use central 5-point stencils
+around a waveform callable, matching the reference's approach.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .sensitivity import get_sensitivity
+
+
+def _as_channel_list(sig):
+    if isinstance(sig, (list, tuple)):
+        return [np.asarray(s) for s in sig]
+    return [np.asarray(sig)]
+
+
+def _df_vector(f):
+    """Right-rule frequency spacings with df[0] = df[1] (reference
+    ``likelihood.py:178-180`` / ``diagnostic.py:95-110``)."""
+    f = np.asarray(f)
+    df = np.empty_like(f)
+    df[1:] = np.diff(f)
+    df[0] = df[1] if len(f) > 1 else 1.0
+    return df
+
+
+def inner_product(
+    sig1,
+    sig2,
+    *,
+    f_arr=None,
+    dt=None,
+    df=None,
+    PSD="lisasens",
+    PSD_args=(),
+    PSD_kwargs=None,
+    normalize=False,
+):
+    """<a|b> = 4 Re sum df a*(f) b(f) / PSD(f), summed over channels.
+
+    Frequency-domain inputs with ``f_arr``; time-domain inputs with ``dt``
+    (rFFT'd here, reference ``diagnostic.py:49-68``). ``normalize=True``
+    returns the overlap <a|b>/sqrt(<a|a><b|b>).
+    """
+    PSD_kwargs = PSD_kwargs or {}
+    a = _as_channel_list(sig1)
+    b = _as_channel_list(sig2)
+    if len(a) != len(b):
+        raise ValueError("channel count mismatch")
+
+    if dt is not None:  # TD inputs
+        n = len(a[0])
+        freqs = np.fft.rfftfreq(n, dt)[1:]
+        a = [np.fft.rfft(ch)[1:] * dt for ch in a]
+        b = [np.fft.rfft(ch)[1:] * dt for ch in b]
+        f_arr = freqs
+
+    if f_arr is None:
+        raise ValueError("provide f_arr (FD inputs) or dt (TD inputs)")
+    f_arr = np.asarray(f_arr)
+    dfv = _df_vector(f_arr) if df is None else np.full(f_arr.shape, df)
+
+    if callable(PSD):
+        psd = np.asarray(PSD(f_arr, *PSD_args, **PSD_kwargs))
+    else:
+        psd = np.asarray(get_sensitivity(f_arr, sens_fn=PSD, **PSD_kwargs))
+
+    out = 0.0
+    for ca, cb in zip(a, b):
+        out = out + 4.0 * np.sum(dfv * np.real(np.conj(ca) * cb) / psd)
+    if normalize:
+        naa = inner_product(sig1, sig1, f_arr=f_arr, df=df, PSD=PSD, PSD_args=PSD_args, PSD_kwargs=PSD_kwargs) if dt is None else None
+        if dt is not None:
+            raise NotImplementedError("normalize with TD inputs: call with FD arrays")
+        nbb = inner_product(sig2, sig2, f_arr=f_arr, df=df, PSD=PSD, PSD_args=PSD_args, PSD_kwargs=PSD_kwargs)
+        return out / np.sqrt(naa * nbb)
+    return out
+
+
+def overlap(sig1, sig2, **kwargs):
+    return inner_product(sig1, sig2, normalize=True, **kwargs)
+
+
+def get_mismatch(sig1, sig2, **kwargs):
+    """1 - overlap (reference ``few.utils.utility.get_mismatch`` parity)."""
+    return 1.0 - overlap(sig1, sig2, **kwargs)
+
+
+def snr(sig, data=None, **kwargs):
+    """Optimal SNR sqrt(<h|h>), or matched-filter SNR <d|h>/sqrt(<h|h>)."""
+    opt = np.sqrt(inner_product(sig, sig, **kwargs))
+    if data is None:
+        return opt
+    return inner_product(data, sig, **kwargs) / opt
+
+
+def dh_dlambda(waveform_fn, params, i, eps):
+    """5-point central-stencil derivative of the waveform wrt params[i]
+    (reference ``diagnostic.py:207``)."""
+    params = np.asarray(params, dtype=np.float64)
+
+    def at(delta):
+        p = params.copy()
+        p[i] += delta
+        return _as_channel_list(waveform_fn(p))
+
+    h2p, h1p, h1m, h2m = at(2 * eps), at(eps), at(-eps), at(-2 * eps)
+    return [
+        (-ch2p + 8.0 * ch1p - 8.0 * ch1m + ch2m) / (12.0 * eps)
+        for ch2p, ch1p, ch1m, ch2m in zip(h2p, h1p, h1m, h2m)
+    ]
+
+
+def fisher(waveform_fn, params, eps, **ip_kwargs):
+    """Fisher matrix Gamma_ij = <dh/di | dh/dj> (reference ``:300``)."""
+    params = np.asarray(params, dtype=np.float64)
+    ndim = len(params)
+    eps = np.broadcast_to(np.asarray(eps, dtype=np.float64), (ndim,))
+    derivs = [dh_dlambda(waveform_fn, params, i, eps[i]) for i in range(ndim)]
+    gamma = np.zeros((ndim, ndim))
+    for i in range(ndim):
+        for j in range(i, ndim):
+            gamma[i, j] = gamma[j, i] = inner_product(derivs[i], derivs[j], **ip_kwargs)
+    return gamma
+
+
+def covariance(waveform_fn, params, eps, diagonalize: bool = False, **ip_kwargs):
+    """Inverse Fisher (reference ``:389``; the mpmath 500-dps branch is
+    replaced with numpy pinv — f64 conditioning issues should be handled by
+    parameter scaling upstream)."""
+    gamma = fisher(waveform_fn, params, eps, **ip_kwargs)
+    cov = np.linalg.pinv(gamma)
+    if diagonalize:
+        evals, evecs = np.linalg.eigh(cov)
+        return cov, (evals, evecs)
+    return cov
+
+
+def mismatch_criterion(waveform_fn, params, cov, n_draws: int = 100, seed: int = 0, **ip_kwargs):
+    """Draw 1-sigma displacements and report overlaps (reference ``:489``)."""
+    rng = np.random.default_rng(seed)
+    base = _as_channel_list(waveform_fn(np.asarray(params)))
+    out = []
+    for _ in range(n_draws):
+        dp = rng.multivariate_normal(np.zeros(len(params)), cov)
+        pert = _as_channel_list(waveform_fn(np.asarray(params) + dp))
+        out.append(1.0 - inner_product(base, pert, normalize=True, **ip_kwargs))
+    return np.asarray(out)
+
+
+def cutler_vallisneri_bias(
+    waveform_true_fn, waveform_approx_fn, params, eps, return_fisher=False, **ip_kwargs
+):
+    """Linear waveform-systematics bias (reference ``:760``):
+    dtheta_i = (Gamma^-1)_ij <dh/dj | h_true - h_approx>."""
+    params = np.asarray(params, dtype=np.float64)
+    gamma = fisher(waveform_approx_fn, params, eps, **ip_kwargs)
+    ndim = len(params)
+    eps_v = np.broadcast_to(np.asarray(eps, dtype=np.float64), (ndim,))
+    h_true = _as_channel_list(waveform_true_fn(params))
+    h_ap = _as_channel_list(waveform_approx_fn(params))
+    diff = [a - b for a, b in zip(h_true, h_ap)]
+    proj = np.array(
+        [
+            inner_product(dh_dlambda(waveform_approx_fn, params, i, eps_v[i]), diff, **ip_kwargs)
+            for i in range(ndim)
+        ]
+    )
+    bias = np.linalg.pinv(gamma) @ proj
+    if return_fisher:
+        return bias, gamma
+    return bias
+
+
+def scale_snr(target_snr, sig, **kwargs):
+    """Rescale channels to a target optimal SNR (reference ``:843``)."""
+    current = snr(sig, **kwargs)
+    factor = target_snr / current
+    return [np.asarray(s) * factor for s in _as_channel_list(sig)], factor
+
+
+__all__ = [
+    "inner_product",
+    "overlap",
+    "get_mismatch",
+    "snr",
+    "dh_dlambda",
+    "fisher",
+    "covariance",
+    "mismatch_criterion",
+    "cutler_vallisneri_bias",
+    "scale_snr",
+]

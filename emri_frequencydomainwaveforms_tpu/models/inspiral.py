@@ -96,6 +96,7 @@ def schwarz_ecc_flux_inspiral(
         t_max_geo,
         max_steps=max_steps,
         rtol=rtol,
+        tail_slope_mask=(0.0, 0.0, 1.0, 1.0),  # linear-phase padding
     )
     t_sec = knots.t * (m * MTSUN_SI)
     zeros = jnp.zeros_like(knots.t)

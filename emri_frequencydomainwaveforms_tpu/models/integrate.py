@@ -63,6 +63,7 @@ def integrate_inspiral(
     h0: float = 100.0,
     h_max_frac: float = 1.0 / 128.0,
     max_iters: int | None = None,
+    tail_slope_mask: tuple | None = None,
 ) -> InspiralKnots:
     """Integrate ``dy/dt = rhs(y)`` from t=0 until ``stop(y)`` or ``t_max``.
 
@@ -75,6 +76,13 @@ def integrate_inspiral(
       t_max: horizon in geometric time.
       max_steps: static knot-buffer size.
       rtol/atol: local error control.
+      tail_slope_mask: per-component 0/1 mask; masked-1 components are padded
+        past the live knots with LINEAR extrapolation at their final RHS rate
+        (phases: keeps the global spline fit monotone through the live/pad
+        junction — constant-value padding makes the fitted derivative wiggle
+        negative in the last live segments, breaking the FD kernel's
+        monotonicity mask), masked-0 components are padded constant (p, e:
+        linear continuation would cross the separatrix into NaN territory).
       h_max_frac: cap on the step size as a fraction of t_max. The knots are
         consumed by downstream cubic-spline fits (phase/amplitude/frequency
         interpolation between knots), so knot density — not ODE local error —
@@ -182,7 +190,12 @@ def integrate_inspiral(
     t_pad = last_t + pad_dt * (idxs - (n - 1)).astype(dtype)
     live = idxs < n
     t_out = jnp.where(live, final.t_buf, t_pad)
-    y_out = jnp.where(live[:, None], final.y_buf, last_y[None, :])
+    if tail_slope_mask is not None:
+        rates = rhs(last_y) * jnp.asarray(tail_slope_mask, dtype)
+        y_pad = last_y[None, :] + rates[None, :] * (t_pad - last_t)[:, None]
+    else:
+        y_pad = jnp.broadcast_to(last_y[None, :], final.y_buf.shape)
+    y_out = jnp.where(live[:, None], final.y_buf, y_pad)
     return InspiralKnots(t=t_out, y=y_out, n=n)
 
 

@@ -1,0 +1,589 @@
+"""Frequency-domain stationary-phase mode summation — the framework's core.
+
+Replaces the reference engine's CUDA FD summation kernel (``output_type="fd"``,
+the contribution of arXiv:2307.12585; behavior pinned at reference
+``emri_pe.py:86-105, 237-247, 349`` — arbitrary ``f_arr``, ``mask_positive``,
+default odd ``fftshift(fftfreq(N, dt))`` grid — with the per-mode math spec in
+``Tutorial_FD_construction_single_mode.ipynb`` cells 22-26: inversion of
+t(f), SPA amplitude ``~ 1/sqrt(fdot)`` with the Bessel-K(1/3) turnover
+correction).
+
+Math (convention ``htilde(f) = int h(t) e^{-2 pi i f t} dt``, matching
+``fft(h) * dt``): the TD waveform is the mode-pair sum
+
+  h(t) = sum_i [ A_i(t) Y^+_i e^{-i Phi_i(t)}
+                 + sigma_i conj(A_i)(t) Y^-_i e^{+i Phi_i(t)} ],
+
+with Phi_i = m Phi_phi + n Phi_r increasing, sigma = (-1)^l,
+Y^+ = -2Y_{lm}(th, ph), Y^- = -2Y_{l,-m}(th, ph). The partner term has a
+stationary point at positive f where Phi_i'(t*) = 2 pi f:
+
+  C_i(f) = conj(A_i)(t*) F_i(t*) e^{i(Phi_i(t*) - 2 pi f t*)},
+
+with the uniform SPA factor (asymptotically e^{i pi/4}/sqrt(fdot))
+
+  F = (2/sqrt(3)) (fdot/|fddot|) K_{1/3}(i w) e^{i w},
+  w = -2 pi fdot^3 / (3 fddot^2).
+
+BOTH the f<0 branch (from the direct term, via
+``htilde(-f) = conj(sum_i C_i(f) conj(Y^+_i))``) and both polarization
+channels are linear in the same core C_i(f):
+
+  htilde(+f)        = sum_i C_i(f) (sigma_i Y^-_i)
+  htilde(-f)        = conj( sum_i C_i(f) conj(Y^+_i) )
+  htilde_plus(f>0)  = sum_i C_i(f) (sigma Y^- + conj(Y^+))/2
+  htilde_cross(f>0) = sum_i C_i(f) i (sigma Y^- - conj(Y^+))/2
+
+so the kernel evaluates C_i once per (mode, bin) and accumulates two
+weighted outputs — one pass serves scalar-h, [h+, hx], and both signs.
+
+Consistency is the accuracy-critical design decision: the per-mode frequency
+is defined as the EXACT derivative of the per-mode phase spline,
+``f_i(t) = Phi_i'(t)/(2 pi)`` (piecewise quadratic), not an independently
+fitted spline. The TD kernel interpolates the same phase spline, so the FD
+phase Psi(f) = Phi(t*) - 2 pi f t* is the exact Legendre transform of the TD
+phase — stationarity holds to machine precision at the spline level and the
+residual error is pure SPA truncation (O(1/w)), not spline cross-talk.
+(An earlier implementation with separate f(t) splines showed oscillating
+~0.05 rad phase residuals vs fft(TD) from exactly this inconsistency.)
+It is also cheaper: t*(f) is a quadratic root per bin (3 cheap Newton steps,
+derivative-consistent), fdot/fddot fall out of the same coefficients.
+
+TPU design:
+* per-mode phase splines are LINEAR COMBINATIONS of two shared splines
+  (Phi_phi, Phi_r): coefficients combine as ``m*c_phi + n*c_r`` — no
+  per-mode fits;
+* the mode axis is a `lax.scan` accumulating 4 real (Nf,) outputs — O(grid)
+  memory; bins outside a mode's [f_start, f_end] range or failing the
+  monotonicity mask contribute exactly 0;
+* all real arithmetic (TPU has no complex128), MIXED precision: the phase
+  path (segment solve, Phi Horner, Psi = Phi - 2 pi f t*) stays f64 — mul/add
+  only, modest emulation cost — then Psi is reduced mod 2 pi and the
+  transcendental-heavy tail (sin/cos, Bessel, amplitude assembly) runs in
+  native f32. v5e has no f64 hardware; f64 sin/cos are ~100x software calls
+  and dominated the first implementation (27 s/waveform on the 1-yr grid).
+  f32 noise enters only the ~1e-7-level amplitude/phase-mod, orders below
+  the 1e-4 mismatch gate;
+* the per-bin segment lookup exploits that ``f_pos`` is sorted: knot edges
+  are positioned in the bin grid once per mode (K log Nf) and broadcast by a
+  scatter+cumsum, instead of Nf independent binary searches (Nf log K
+  serial gathers).
+
+Current scope: modes with monotonically increasing f_i(t) (the dominant
+content for chirping inspirals); decreasing/turnover harmonics are masked
+out (tracked for a later segment-splitting extension).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.bessel import kve_one_third_imag
+from ..ops.cubic_spline import fit_cubic_spline, spline_eval
+from .amplitude import ModeTable
+from .modeselect import SelectedModes
+
+_TWO_OVER_SQRT3 = 2.0 / math.sqrt(3.0)
+_TWO_PI = 2.0 * math.pi
+
+
+class FDKernelInputs(NamedTuple):
+    """Precomputed shared trajectory splines + per-mode data for the scan."""
+
+    t_knots: jax.Array  # (K,)
+    c_phi_phi: jax.Array  # (K-1, 4) spline coeffs of Phi_phi(t)
+    c_phi_r: jax.Array
+    f_phi_knots: jax.Array  # (K,) Phi_phi'(t_k)/(2 pi) — derivative-consistent
+    f_r_knots: jax.Array
+    ar_c: jax.Array  # (k_max, K-1, 4) selected amplitude splines (re)
+    ai_c: jax.Array
+    m_sel: jax.Array  # (k_max,) float m
+    n_sel: jax.Array
+    w1_re: jax.Array  # (k_max,) weight for output 1
+    w1_im: jax.Array
+    w2_re: jax.Array
+    w2_im: jax.Array
+    mode_live: jax.Array  # (k_max,) selection mask * monotonicity mask
+    n_live: jax.Array  # scalar int: live knot count
+
+
+def prepare_fd_inputs(
+    t_knots: jax.Array,
+    n_live: jax.Array,
+    phi_phi_knots: jax.Array,
+    phi_r_knots: jax.Array,
+    a_re_knots: jax.Array,  # (K, M)
+    a_im_knots: jax.Array,
+    table: ModeTable,
+    sel: SelectedModes,
+    w1: tuple[jax.Array, jax.Array],  # per-CANDIDATE-mode weights (M,) re/im
+    w2: tuple[jax.Array, jax.Array],
+) -> FDKernelInputs:
+    """Fit shared splines and compact per-mode arrays for `fd_mode_sum`."""
+    # not-a-knot: a natural BC would force Phi'' = 0 at the ends, i.e. a
+    # zero chirp rate at t=0 — the SPA envelope 1/sqrt(fdot) then diverges
+    # at the band start (observed as a spurious peak in the first segment)
+    sp_pp = fit_cubic_spline(t_knots, phi_phi_knots, bc="not-a-knot")
+    sp_pr = fit_cubic_spline(t_knots, phi_r_knots, bc="not-a-knot")
+    sp_ar = fit_cubic_spline(t_knots, a_re_knots.T, bc="not-a-knot")  # (M, K-1, 4)
+    sp_ai = fit_cubic_spline(t_knots, a_im_knots.T, bc="not-a-knot")
+
+    # knot frequencies from the phase-spline derivative (exact consistency)
+    f_phi_knots = spline_eval(sp_pp, t_knots, deriv=1) / _TWO_PI
+    f_r_knots = spline_eval(sp_pr, t_knots, deriv=1) / _TWO_PI
+
+    m_arr = jnp.asarray(table.ms.astype(np.float64))
+    n_arr = jnp.asarray(table.ns.astype(np.float64))
+    m_sel = jnp.take(m_arr, sel.idx)
+    n_sel = jnp.take(n_arr, sel.idx)
+
+    # monotonicity mask per selected mode: f_i strictly increasing on live knots
+    k = t_knots.shape[0]
+    f_knots_all = m_sel[:, None] * f_phi_knots[None, :] + n_sel[:, None] * f_r_knots[None, :]
+    live_seg = (jnp.arange(k - 1) < (n_live - 1))[None, :]
+    df = jnp.diff(f_knots_all, axis=1)
+    mono = jnp.all(jnp.where(live_seg, df > 0.0, True), axis=1)
+    positive = f_knots_all[:, 0] > 0.0
+    mode_live = sel.mask * mono.astype(t_knots.dtype) * positive.astype(t_knots.dtype)
+
+    return FDKernelInputs(
+        t_knots=t_knots,
+        c_phi_phi=sp_pp.c,
+        c_phi_r=sp_pr.c,
+        f_phi_knots=f_phi_knots,
+        f_r_knots=f_r_knots,
+        ar_c=jnp.take(sp_ar.c, sel.idx, axis=0),
+        ai_c=jnp.take(sp_ai.c, sel.idx, axis=0),
+        m_sel=m_sel,
+        n_sel=n_sel,
+        w1_re=jnp.take(w1[0], sel.idx),
+        w1_im=jnp.take(w1[1], sel.idx),
+        w2_re=jnp.take(w2[0], sel.idx),
+        w2_im=jnp.take(w2[1], sel.idx),
+        mode_live=mode_live,
+        n_live=n_live,
+    )
+
+
+def fd_mode_sum(
+    inp: FDKernelInputs, f_pos: jax.Array, nodes_per_segment: int = 32
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Accumulate sum_i C_i(f) * W1_i and * W2_i over the selected modes.
+
+    Two-level evaluation (the TPU-native reshaping of the reference's
+    per-bin CUDA loop):
+
+    **Level 1 — compression (f64, ~(K-1)*S nodes per mode).** Nodes are
+    placed uniformly in t inside each trajectory spline segment, where
+    everything is available in closed form WITHOUT root-finding:
+    f = Phi'(t)/(2 pi), Psi = Phi - 2 pi f t, dPsi/df = -2 pi t (exact
+    stationarity), the SPA/Bessel factor, and the complex envelope
+    E = conj(A) F W. Per f-interval between nodes we build a cubic HERMITE
+    representation of Psi (values + exact derivatives at both ends; the
+    ~20-rad in-interval phase swing is cast to f32 after a mod-2pi shift of
+    the constant term) and a linear representation of E.
+
+    **Level 2 — dense evaluation (f32).** Each output bin locates its node
+    interval (scatter+cumsum over the sorted grid, no per-bin binary
+    search), gathers 4+4 f32 coefficients, evaluates a Horner cubic + one
+    sin/cos pair, and accumulates. Only one f64 gather+subtract survives
+    per bin (the interval-local offset f - f_n, which must not lose the
+    ~1e-9 Hz bin spacing against ~1e-3 Hz absolute frequencies).
+
+    Interpolation error budget: node spacing df_n ~ band/((K-1) S) ~ 1e-7 Hz
+    gives |d4Psi/df4| df_n^4 / 384 ~ 1e-12 rad mid-band; the f32 phase tail
+    contributes ~1e-6 rad. Both are orders below the 1e-4 mismatch gate.
+
+    Args:
+      f_pos: (Nf,) strictly positive output frequencies, sorted ascending
+        (any spacing — full fftshift grids and downsampled f_arr alike).
+
+    Returns:
+      (o1_re, o1_im, o2_re, o2_im), each (Nf,).
+    """
+    t_knots = inp.t_knots
+    k = t_knots.shape[0]
+    n_live = inp.n_live
+    s_nodes = nodes_per_segment
+    n_nodes = (k - 1) * s_nodes
+
+    nf = f_pos.shape[0]
+    f32 = jnp.float32
+
+    # static node layout: segment index + fractional position per node
+    seg_of_node = np.repeat(np.arange(k - 1), s_nodes)
+    frac_of_node = np.tile(np.arange(s_nodes) / s_nodes, k - 1)
+    seg_of_node_j = jnp.asarray(seg_of_node)
+    frac_of_node_j = jnp.asarray(frac_of_node)
+    h_all = jnp.diff(t_knots)  # (K-1,)
+    dx_node = frac_of_node_j * jnp.take(h_all, seg_of_node_j)  # (N_nodes,)
+    t_node = jnp.take(t_knots, seg_of_node_j) + dx_node
+    node_idx = jnp.arange(n_nodes)
+    node_live = node_idx < (n_live - 1) * s_nodes  # nodes in live segments
+
+    def body(carry, mode):
+        o1r, o1i, o2r, o2i = carry
+        (cphi_m, ar_ci, ai_ci, f_knots_i, w1r, w1i, w2r, w2i, live_i) = mode
+
+        # ===== Level 1: per-node closed-form evaluation (f64) =====
+        cn = jnp.take(cphi_m, seg_of_node_j, axis=0)  # (N_nodes, 4)
+        c0, c1, c2, c3 = cn[..., 0], cn[..., 1], cn[..., 2], cn[..., 3]
+        dxn = dx_node
+        f_n = (c1 + dxn * (2.0 * c2 + 3.0 * c3 * dxn)) / _TWO_PI
+        phi_n = c0 + dxn * (c1 + dxn * (c2 + dxn * c3))
+        psi_n = phi_n - _TWO_PI * f_n * t_node
+        fdot_n = (2.0 * c2 + 6.0 * c3 * dxn) / _TWO_PI
+        fddot_n = (6.0 * c3) / _TWO_PI
+
+        dxn32 = dxn.astype(f32)
+        arn = jnp.take(ar_ci, seg_of_node_j, axis=0).astype(f32)
+        ain = jnp.take(ai_ci, seg_of_node_j, axis=0).astype(f32)
+        a_re = arn[..., 0] + dxn32 * (arn[..., 1] + dxn32 * (arn[..., 2] + dxn32 * arn[..., 3]))
+        a_im = ain[..., 0] + dxn32 * (ain[..., 1] + dxn32 * (ain[..., 2] + dxn32 * ain[..., 3]))
+
+        # uniform SPA factor in the overflow-free f32 form
+        #   F = C(w) / sqrt(fdot),  C(w) = K_{1/3}(i w) e^{i w} sqrt(2|w|/pi)
+        # (algebraically equal to (2/sqrt3)(fdot/|fddot|) K13 e^w; C ->
+        # e^{i pi/4} away from turnover, -> 0 as w -> 0). w is formed in f64
+        # (fdot^3 ~ 1e-33 underflows f32) then cast; the Bessel evaluation
+        # and envelope assembly run in f32 — v5e f64 transcendentals at the
+        # nodes were the dominant cost of the level-1 pass.
+        fdot_s = jnp.maximum(fdot_n, 1e-300)  # monotone-increasing modes only
+        w_arg = -_TWO_PI * fdot_s**3 / (3.0 * jnp.maximum(fddot_n * fddot_n, 1e-300))
+        w32 = jnp.clip(w_arg, -1e12, -1e-6).astype(f32)
+        k_re, k_im = kve_one_third_imag(w32)
+        corr = jnp.sqrt(2.0 * jnp.abs(w32) * f32(1.0 / math.pi))
+        inv_sqrt_fdot = jax.lax.rsqrt(jnp.maximum(fdot_s.astype(f32), f32(1e-37)))
+        cr = k_re * corr * inv_sqrt_fdot
+        ci = k_im * corr * inv_sqrt_fdot
+        # envelope E = conj(A) * F  (f32)
+        e_re = a_re * cr + a_im * ci
+        e_im = a_re * ci - a_im * cr
+
+        # strictly-increasing node frequency array. The FIRST dead node (the
+        # left edge of the first padded segment, t = t_end) keeps its true
+        # value f_end so the final live interval [last-live-node, f_end]
+        # gets genuine Hermite coefficients; later dead nodes get a ramp.
+        f_end = f_knots_i[jnp.maximum(n_live - 1, 0)]
+        live_ext = node_idx <= (n_live - 1) * s_nodes
+        ramp = jnp.maximum(node_idx - (n_live - 1) * s_nodes, 0).astype(f_n.dtype)
+        f_node_s = jnp.where(live_ext, f_n, f_end) + ramp * jnp.maximum(
+            jnp.abs(f_knots_i[-1]), 1.0
+        )
+
+        # per-interval coefficients (interval i: node i -> node i+1)
+        f_lo = f_node_s
+        df_n = jnp.diff(f_node_s, append=f_node_s[-1:] + 1.0)
+        inv_df = 1.0 / jnp.where(jnp.abs(df_n) > 0, df_n, 1.0)
+        psi_hi = jnp.roll(psi_n, -1)
+        t_hi = jnp.roll(t_node, -1)
+        # Hermite in xi = (f - f_lo)/df: values psi_lo/psi_hi, exact
+        # derivatives dPsi/df = -2 pi t  ->  d/dxi = -2 pi t * df
+        d_lo = -_TWO_PI * t_node * df_n
+        d_hi = -_TWO_PI * t_hi * df_n
+        dpsi = psi_hi - psi_n
+        p0_full = psi_n
+        p0 = p0_full - _TWO_PI * jnp.round(p0_full * (1.0 / _TWO_PI))
+        p1 = d_lo
+        p2 = 3.0 * dpsi - 2.0 * d_lo - d_hi
+        p3 = -2.0 * dpsi + d_lo + d_hi
+        # envelope: linear in xi
+        e_re_hi = jnp.roll(e_re, -1)
+        e_im_hi = jnp.roll(e_im, -1)
+
+        # cast the dense-path tables to f32
+        p0_32, p1_32 = p0.astype(f32), p1.astype(f32)
+        p2_32, p3_32 = p2.astype(f32), p3.astype(f32)
+        er0_32 = e_re.astype(f32)
+        der_32 = (e_re_hi - e_re).astype(f32)
+        ei0_32 = e_im.astype(f32)
+        dei_32 = (e_im_hi - e_im).astype(f32)
+        inv_df_32 = inv_df.astype(f32)
+
+        f_start = f_knots_i[0]
+        in_range = (f_pos >= f_start) & (f_pos <= f_end)
+
+        # ===== Level 2: dense evaluation (f32 + one f64 gather/sub) =====
+        # interval index via node positions in the sorted bin grid
+        edge_pos = jnp.searchsorted(f_pos, f_node_s, side="left")  # (N_nodes,)
+        counts = jnp.zeros((nf + 1,), jnp.int32).at[edge_pos].add(1, mode="drop")
+        j = jnp.cumsum(counts[:nf]) - 1
+        j = jnp.clip(j, 0, n_nodes - 2)
+
+        f_lo_b = jnp.take(f_lo, j)  # f64 gather — bin offset needs f64
+        xi = ((f_pos - f_lo_b) * jnp.take(inv_df_32, j).astype(f_pos.dtype)).astype(f32)
+
+        psi32 = jnp.take(p0_32, j) + xi * (
+            jnp.take(p1_32, j) + xi * (jnp.take(p2_32, j) + xi * jnp.take(p3_32, j))
+        )
+        c_psi = jnp.cos(psi32)
+        s_psi = jnp.sin(psi32)
+        er_b = jnp.take(er0_32, j) + xi * jnp.take(der_32, j)
+        ei_b = jnp.take(ei0_32, j) + xi * jnp.take(dei_32, j)
+        c_re = er_b * c_psi - ei_b * s_psi
+        c_im = er_b * s_psi + ei_b * c_psi
+
+        keep = in_range & (live_i > 0)
+        c_re = jnp.where(keep, c_re, 0.0).astype(f32)
+        c_im = jnp.where(keep, c_im, 0.0).astype(f32)
+
+        w1r32, w1i32 = w1r.astype(f32), w1i.astype(f32)
+        w2r32, w2i32 = w2r.astype(f32), w2i.astype(f32)
+        o1r = o1r + c_re * w1r32 - c_im * w1i32
+        o1i = o1i + c_re * w1i32 + c_im * w1r32
+        o2r = o2r + c_re * w2r32 - c_im * w2i32
+        o2i = o2i + c_re * w2i32 + c_im * w2r32
+        return (o1r, o1i, o2r, o2i), None
+
+    zero = jnp.zeros(f_pos.shape, f32)
+    # per-mode spline coefficients as linear combos of the shared splines
+    cphi_all = (
+        inp.m_sel[:, None, None] * inp.c_phi_phi[None]
+        + inp.n_sel[:, None, None] * inp.c_phi_r[None]
+    )
+    f_knots_all = (
+        inp.m_sel[:, None] * inp.f_phi_knots[None, :] + inp.n_sel[:, None] * inp.f_r_knots[None, :]
+    )
+    (o1r, o1i, o2r, o2i), _ = jax.lax.scan(
+        body,
+        (zero, zero, zero, zero),
+        (
+            cphi_all,
+            inp.ar_c,
+            inp.ai_c,
+            f_knots_all,
+            inp.w1_re,
+            inp.w1_im,
+            inp.w2_re,
+            inp.w2_im,
+            inp.mode_live,
+        ),
+    )
+    dt_out = f_pos.dtype
+    return o1r.astype(dt_out), o1i.astype(dt_out), o2r.astype(dt_out), o2i.astype(dt_out)
+
+
+def fd_mode_sum_uniform(
+    inp: FDKernelInputs,
+    f0: float,
+    df: float,
+    nf: int,
+    *,
+    bins_per_run: int = 64,
+    band_runs: int | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Gather-minimal FD summation for UNIFORM output grids f = f0 + i*df.
+
+    The performance-critical variant (the default fftshift grid and the
+    ``freq[::k]`` downsampled likelihood grids are uniform). Exploits two
+    structural facts measured on TPU (v5e): random gathers run at ~85M/s
+    (~12 ns each, 100x slower than VPU flops) and a mode's band covers only
+    a few percent of the full grid. Design:
+
+    * **Band windowing**: per mode, interpolation nodes are placed only over
+      its band — every ``bins_per_run``-th bin starting at the run containing
+      f_start, ``band_runs`` runs (static budget; content above the window is
+      masked out, budget defaults to the full grid when unspecified).
+    * **Node evaluation** (f64): each node's trajectory segment comes from a
+      short hand-rolled binary search over the K knot frequencies; 3 Newton
+      steps solve the quadratic Phi'(t) = 2 pi f_node; Psi, dPsi/df = -2 pi t,
+      and the f32 envelope E = conj(A) K13-corr/sqrt(fdot) are evaluated in
+      closed form. ~20 gathers per NODE (not per bin).
+    * **Gather-free dense pass** (f32): within a run, bins evaluate a phase
+      Hermite cubic (exact node derivatives) and a Catmull-Rom envelope by
+      broadcasting per-run coefficients over a (band_runs, bins_per_run)
+      workspace — reshapes, no gathers, one sin/cos pair per bin-mode.
+    * **Dynamic-window accumulation**: each mode's (band_runs*bins_per_run)
+      contribution is added into the padded output at its run offset via a
+      contiguous dynamic read-modify-write.
+
+    Returns (o1_re, o1_im, o2_re, o2_im), each (nf,), f64.
+    """
+    t_knots = inp.t_knots
+    k = t_knots.shape[0]
+    n_live = inp.n_live
+    f32 = jnp.float32
+    r = bins_per_run
+    g_total = -(-nf // r)  # runs covering the grid
+    g_band = g_total if band_runs is None else min(band_runs, g_total)
+    n_nodes = g_band + 1
+    pad_len = (g_total + g_band) * r  # accumulation space incl. window slack
+
+    run_df = r * df
+    kidx_pow = int(np.ceil(np.log2(k)))
+
+    def body(carry, mode):
+        o1r, o1i, o2r, o2i = carry
+        (cphi_m, ar_ci, ai_ci, f_knots_i, w1r, w1i, w2r, w2i, live_i) = mode
+
+        f_start = f_knots_i[0]
+        f_end = f_knots_i[jnp.maximum(n_live - 1, 0)]
+        g0 = jnp.clip(
+            jnp.floor((f_start - f0) / run_df).astype(jnp.int32), 0, g_total
+        )
+        f_node = f0 + (g0.astype(f_pos_dtype) + jnp.arange(n_nodes, dtype=f_pos_dtype)) * run_df
+
+        # --- segment search: hand-rolled branchless binary search over the
+        # live knot frequencies (padded tail is +ramp-monotone) ---
+        ramp = jnp.maximum(jnp.arange(k) - (n_live - 1), 0).astype(f_knots_i.dtype)
+        f_search = f_knots_i + ramp * jnp.maximum(jnp.abs(f_knots_i[-1]), 1.0)
+        lo = jnp.zeros((n_nodes,), jnp.int32)
+        hi = jnp.full((n_nodes,), k - 1, jnp.int32)
+        for _ in range(kidx_pow):
+            mid = (lo + hi + 1) // 2
+            pred = jnp.take(f_search, mid) <= f_node
+            lo = jnp.where(pred, mid, lo)
+            hi = jnp.where(pred, hi, mid - 1)
+        j = jnp.clip(lo, 0, k - 2)
+        j = jnp.minimum(j, jnp.maximum(n_live - 2, 0))
+
+        cj = jnp.take(cphi_m, j, axis=0)  # (n_nodes, 4)
+        c0, c1, c2, c3 = cj[..., 0], cj[..., 1], cj[..., 2], cj[..., 3]
+        t_lo = jnp.take(t_knots, j)
+        h_seg = jnp.take(t_knots, j + 1) - t_lo
+        f_lo = jnp.take(f_knots_i, j)
+        f_hi = jnp.take(f_knots_i, j + 1)
+
+        # --- Newton for dx: Phi'(dx) = 2 pi f_node (quadratic; 3 steps).
+        # Nodes just outside the band (the first node sits <= f_start, the
+        # last run's right node can sit > f_end) EXTRAPOLATE the edge
+        # segment's phase cubic mildly instead of clamping to the segment:
+        # clamped nodes would mislabel the edge Hermite intervals (values at
+        # t_end tagged with a frequency above f_end), corrupting the last
+        # in-band bins. Out-of-band bins themselves are masked. ---
+        y = _TWO_PI * f_node
+        denom = jnp.where(jnp.abs(f_hi - f_lo) > 0, f_hi - f_lo, 1.0)
+        dx = jnp.clip((f_node - f_lo) / denom, -0.5, 1.5) * h_seg
+        for _ in range(3):
+            fp = c1 + dx * (2.0 * c2 + 3.0 * c3 * dx) - y
+            fpp = 2.0 * c2 + 6.0 * c3 * dx
+            fpp = jnp.where(jnp.abs(fpp) > 1e-300, fpp, 1e-300)
+            dx = jnp.clip(dx - fp / fpp, -0.5 * h_seg, 1.5 * h_seg)
+        t_star = t_lo + dx
+
+        phi = c0 + dx * (c1 + dx * (c2 + dx * c3))
+        psi = phi - y * t_star
+        # envelope quantities use the IN-segment point: the extrapolated
+        # quadratic Phi' can peak just past the band (fdot -> 0 blows up
+        # 1/sqrt(fdot)); the O(run_df) envelope offset at the <=R edge bins
+        # is benign while the phase must stay extrapolation-consistent.
+        dx_env = jnp.clip(dx, 0.0, h_seg)
+        fdot = jnp.maximum((2.0 * c2 + 6.0 * c3 * dx_env) / _TWO_PI, 1e-300)
+        fddot = (6.0 * c3) / _TWO_PI
+
+        # envelope at nodes (f32, overflow-free SPA form)
+        dx32 = dx_env.astype(f32)
+        arj = jnp.take(ar_ci, j, axis=0).astype(f32)
+        aij = jnp.take(ai_ci, j, axis=0).astype(f32)
+        a_re = arj[..., 0] + dx32 * (arj[..., 1] + dx32 * (arj[..., 2] + dx32 * arj[..., 3]))
+        a_im = aij[..., 0] + dx32 * (aij[..., 1] + dx32 * (aij[..., 2] + dx32 * aij[..., 3]))
+        w_arg = -_TWO_PI * fdot**3 / (3.0 * jnp.maximum(fddot * fddot, 1e-300))
+        w32 = jnp.clip(w_arg, -1e12, -1e-6).astype(f32)
+        k_re, k_im = kve_one_third_imag(w32)
+        corr = jnp.sqrt(2.0 * jnp.abs(w32) * f32(1.0 / math.pi))
+        inv_sq = jax.lax.rsqrt(jnp.maximum(fdot.astype(f32), f32(1e-37)))
+        cr_f = k_re * corr * inv_sq
+        ci_f = k_im * corr * inv_sq
+        e_re = a_re * cr_f + a_im * ci_f
+        e_im = a_re * ci_f - a_im * cr_f
+
+        # --- per-run coefficients (intervals g -> g+1), f64 -> f32 ---
+        psi_lo, psi_hi = psi[:-1], psi[1:]
+        d_lo = -_TWO_PI * t_star[:-1] * run_df  # dPsi/dxi at left node
+        d_hi = -_TWO_PI * t_star[1:] * run_df
+        dpsi = psi_hi - psi_lo
+        p0 = (psi_lo - _TWO_PI * jnp.round(psi_lo * (1.0 / _TWO_PI))).astype(f32)
+        p1 = d_lo.astype(f32)
+        p2 = (3.0 * dpsi - 2.0 * d_lo - d_hi).astype(f32)
+        p3 = (-2.0 * dpsi + d_lo + d_hi).astype(f32)
+
+        # Catmull-Rom envelope: cubic from values at g-1, g, g+1, g+2
+        def cr_coeffs(v):
+            vm = jnp.concatenate([v[:1], v[:-1]])[:-1]  # v_{g-1}
+            v0 = v[:-1]
+            v1 = v[1:]
+            vp = jnp.concatenate([v[1:], v[-1:]])[1:]  # v_{g+2}
+            s0 = 0.5 * (v1 - vm)
+            s1 = 0.5 * (vp - v0)
+            return (
+                v0,
+                s0,
+                3.0 * (v1 - v0) - 2.0 * s0 - s1,
+                -2.0 * (v1 - v0) + s0 + s1,
+            )
+
+        er0, er1, er2, er3 = cr_coeffs(e_re)
+        ei0, ei1, ei2, ei3 = cr_coeffs(e_im)
+
+        # --- gather-free dense pass over the (g_band, r) workspace ---
+        xi = ((jnp.arange(r, dtype=f32)) * f32(1.0 / r))[None, :]  # (1, r)
+        psi_d = p0[:, None] + xi * (p1[:, None] + xi * (p2[:, None] + xi * p3[:, None]))
+        c_psi = jnp.cos(psi_d)
+        s_psi = jnp.sin(psi_d)
+        er_d = er0[:, None] + xi * (er1[:, None] + xi * (er2[:, None] + xi * er3[:, None]))
+        ei_d = ei0[:, None] + xi * (ei1[:, None] + xi * (ei2[:, None] + xi * ei3[:, None]))
+        c_re = er_d * c_psi - ei_d * s_psi
+        c_im = er_d * s_psi + ei_d * c_psi
+
+        f_bins = f_node[:-1, None] + (jnp.arange(r, dtype=f_pos_dtype) * df)[None, :]
+        keep = (f_bins >= f_start) & (f_bins <= f_end) & (live_i > 0)
+        # where-mask (not multiply): masked lanes can hold NaN/inf from
+        # extrapolated or non-monotone (masked-out) modes, and 0 * NaN = NaN
+        c_re = jnp.where(keep, c_re, 0.0).astype(f32)
+        c_im = jnp.where(keep, c_im, 0.0).astype(f32)
+
+        w1r32, w1i32 = w1r.astype(f32), w1i.astype(f32)
+        w2r32, w2i32 = w2r.astype(f32), w2i.astype(f32)
+        v1r = (c_re * w1r32 - c_im * w1i32).reshape(-1)
+        v1i = (c_re * w1i32 + c_im * w1r32).reshape(-1)
+        v2r = (c_re * w2r32 - c_im * w2i32).reshape(-1)
+        v2i = (c_re * w2i32 + c_im * w2r32).reshape(-1)
+
+        off = g0 * r
+        win = g_band * r
+
+        def rmw(acc, contrib):
+            cur = jax.lax.dynamic_slice(acc, (off,), (win,))
+            return jax.lax.dynamic_update_slice(acc, cur + contrib, (off,))
+
+        return (rmw(o1r, v1r), rmw(o1i, v1i), rmw(o2r, v2r), rmw(o2i, v2i)), None
+
+    f_pos_dtype = t_knots.dtype
+    zero = jnp.zeros((pad_len,), f32)
+    cphi_all = (
+        inp.m_sel[:, None, None] * inp.c_phi_phi[None]
+        + inp.n_sel[:, None, None] * inp.c_phi_r[None]
+    )
+    f_knots_all = (
+        inp.m_sel[:, None] * inp.f_phi_knots[None, :] + inp.n_sel[:, None] * inp.f_r_knots[None, :]
+    )
+    (o1r, o1i, o2r, o2i), _ = jax.lax.scan(
+        body,
+        (zero, zero, zero, zero),
+        (
+            cphi_all,
+            inp.ar_c,
+            inp.ai_c,
+            f_knots_all,
+            inp.w1_re,
+            inp.w1_im,
+            inp.w2_re,
+            inp.w2_im,
+            inp.mode_live,
+        ),
+    )
+    dt_out = t_knots.dtype
+    return (
+        o1r[:nf].astype(dt_out),
+        o1i[:nf].astype(dt_out),
+        o2r[:nf].astype(dt_out),
+        o2i[:nf].astype(dt_out),
+    )
+
+
+__all__ = ["FDKernelInputs", "prepare_fd_inputs", "fd_mode_sum", "fd_mode_sum_uniform"]

@@ -1,0 +1,159 @@
+"""Sampler tests: the Eryn toy-likelihood suite equivalents.
+
+Mirrors the reference's vendored test strategy (``Eryn/eryn/tests/
+test_eryn.py``: analytic multivariate-Gaussian likelihoods, base sampling
+``test_base``:91, parallel tempering ``test_pt``:146, utilities) plus
+statistical correctness checks the reference lacks (posterior moments of a
+known Gaussian).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from emri_frequencydomainwaveforms_tpu.inference.ensemble import EnsembleSampler
+from emri_frequencydomainwaveforms_tpu.inference.prior import (
+    ProbDistContainer,
+    log_uniform,
+    uniform_dist,
+)
+from emri_frequencydomainwaveforms_tpu.inference.moves.stretch import StretchMove
+from emri_frequencydomainwaveforms_tpu.inference.moves.tempering import make_ladder
+from emri_frequencydomainwaveforms_tpu.inference.backends.hdf import HDFBackend, TempHDFBackend
+from emri_frequencydomainwaveforms_tpu.inference.state import make_state
+
+NDIM = 3
+SIGMA = 0.5
+MEANS = jnp.array([1.0, -0.5, 2.0])
+
+
+def log_like_gauss(x):
+    return -0.5 * jnp.sum((x - MEANS) ** 2, axis=-1) / SIGMA**2
+
+
+def _run_sampler(ntemps=1, nwalkers=32, nsteps=400, backend=None, seed=3):
+    priors = {i: uniform_dist(-10, 10) for i in range(NDIM)}
+    sampler = EnsembleSampler(
+        nwalkers,
+        [NDIM],
+        log_like_gauss,
+        {"model_0": ProbDistContainer(priors)},
+        tempering_kwargs={"ntemps": ntemps, "Tmax": np.inf} if ntemps > 1 else None,
+        backend=backend,
+        seed=seed,
+    )
+    rng = np.random.default_rng(seed)
+    start = rng.normal(np.asarray(MEANS), SIGMA, (ntemps if ntemps else 1, nwalkers, NDIM))
+    state = sampler.run_mcmc(jnp.asarray(start), nsteps, burn=50)
+    return sampler, state
+
+
+class TestBase:
+    def test_base_sampling_moments(self):
+        sampler, state = _run_sampler(ntemps=1, nwalkers=64, nsteps=600)
+        chain = sampler.get_chain(discard=100)["model_0"][:, 0, :, 0, :]
+        flat = chain.reshape(-1, NDIM)
+        np.testing.assert_allclose(flat.mean(axis=0), np.asarray(MEANS), atol=0.1)
+        np.testing.assert_allclose(flat.std(axis=0), SIGMA, rtol=0.15)
+        # healthy stretch-move acceptance
+        acc = sampler.acceptance_fraction
+        assert 0.2 < acc.mean() < 0.9
+
+    def test_invalid_prior_region_rejected(self):
+        priors = {i: uniform_dist(0.0, 10.0) for i in range(NDIM)}  # excludes -0.5!
+        sampler = EnsembleSampler(
+            32, [NDIM], log_like_gauss, {"model_0": ProbDistContainer(priors)}, seed=1
+        )
+        start = np.abs(np.random.default_rng(0).normal(1.0, 0.3, (1, 32, NDIM)))
+        sampler.run_mcmc(jnp.asarray(start), 100)
+        chain = sampler.get_chain()["model_0"]
+        assert (chain >= 0).all()  # never leaves the prior support
+
+
+class TestTempering:
+    def test_pt_sampling(self):
+        sampler, state = _run_sampler(ntemps=4, nwalkers=32, nsteps=300)
+        chain = sampler.get_chain(discard=50)["model_0"]
+        assert chain.shape[1] == 4
+        # cold chain still recovers the posterior
+        flat = chain[:, 0, :, 0, :].reshape(-1, NDIM)
+        np.testing.assert_allclose(flat.mean(axis=0), np.asarray(MEANS), atol=0.15)
+        # betas retained descending with beta0 = 1
+        betas = sampler.backend.get_betas()[-1]
+        assert betas[0] == 1.0
+        assert np.all(np.diff(betas) < 0)
+
+    def test_make_ladder(self):
+        betas = make_ladder(6, ntemps=5, Tmax=np.inf)
+        assert betas[0] == 1.0 and betas[-1] == 0.0 and len(betas) == 5
+        betas2 = make_ladder(6, ntemps=4, Tmax=100.0)
+        np.testing.assert_allclose(betas2[-1], 1e-2, rtol=1e-10)
+
+    def test_evidence_estimate(self):
+        # TI evidence of a Gaussian likelihood against analytic value
+        sampler, _ = _run_sampler(ntemps=8, nwalkers=64, nsteps=500)
+        logz, dlogz = sampler.backend.get_evidence_estimate(discard=100)
+        # analytic: integral of L over the prior volume. TI over an 8-rung
+        # geometric ladder has O(1) trapezoid discretization error near the
+        # beta=0 rung; assert the right ballpark, not quadrature precision.
+        expect = (
+            NDIM * np.log(np.sqrt(2 * np.pi) * SIGMA) - NDIM * np.log(20.0)
+        )
+        assert abs(logz - expect) < 2.5
+
+
+class TestBackends:
+    def test_hdf_roundtrip_and_resume(self, tmp_path):
+        fn = str(tmp_path / "chain.h5")
+        backend = HDFBackend(fn)
+        sampler, state = _run_sampler(ntemps=2, nwalkers=16, nsteps=50, backend=backend)
+        assert backend.iteration == 50
+
+        # reopen: resume from the stored last sample
+        backend2 = HDFBackend(fn)
+        assert backend2.initialized
+        last = backend2.get_last_sample()
+        assert last.branches["model_0"].coords.shape == (2, 16, 1, NDIM)
+        sampler2 = EnsembleSampler(
+            16, [NDIM], log_like_gauss,
+            {"model_0": ProbDistContainer({i: uniform_dist(-10, 10) for i in range(NDIM)})},
+            tempering_kwargs={"ntemps": 2}, backend=backend2, seed=7,
+        )
+        sampler2.run_mcmc(last, 25)
+        assert backend2.iteration == 75
+        chain = backend2.get_chain()["model_0"]
+        assert chain.shape[0] == 75
+
+    def test_temp_backend_fixture(self):
+        with TempHDFBackend() as b:
+            b.reset(8, [2], ntemps=1)
+            st = make_state(jnp.zeros((1, 8, 1, 2)))
+            b.save_step(st, np.zeros((1,)))
+            assert b.iteration == 1
+
+
+class TestPriors:
+    def test_container_logpdf_rvs(self):
+        c = ProbDistContainer({0: uniform_dist(0, 2), 1: log_uniform(1.0, 10.0)})
+        draws = c.rvs(size=500, random_state=0)
+        assert draws.shape == (500, 2)
+        assert (draws[:, 0] >= 0).all() and (draws[:, 0] <= 2).all()
+        lp = np.asarray(c.logpdf(jnp.asarray(draws)))
+        assert np.isfinite(lp).all()
+        lp_out = np.asarray(c.logpdf(jnp.asarray([[3.0, 5.0]])))
+        assert lp_out[0] == -np.inf
+
+    def test_stretch_move_detailed_balance_on_uniform(self):
+        # flat likelihood: chain must stay uniform over the prior box
+        priors = {0: uniform_dist(0, 1), 1: uniform_dist(0, 1)}
+        sampler = EnsembleSampler(
+            64, [2], lambda x: jnp.zeros(x.shape[0]),
+            {"model_0": ProbDistContainer(priors)},
+            moves=StretchMove(a=2.0), seed=11,
+        )
+        start = np.random.default_rng(5).uniform(0.2, 0.8, (1, 64, 2))
+        sampler.run_mcmc(jnp.asarray(start), 500)
+        flat = sampler.get_chain(discard=250)["model_0"][:, 0, :, 0, :].reshape(-1, 2)
+        np.testing.assert_allclose(flat.mean(axis=0), 0.5, atol=0.05)
+        np.testing.assert_allclose(flat.std(axis=0), np.sqrt(1 / 12), rtol=0.1)

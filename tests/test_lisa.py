@@ -1,0 +1,131 @@
+"""LISA layer tests: PSDs, inner products, likelihood."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from emri_frequencydomainwaveforms_tpu.lisa.sensitivity import (
+    AET,
+    cornish_lisa_psd,
+    get_sensitivity,
+    lisasens,
+    noisepsd_AE,
+    noisepsd_T,
+    noisepsd_X,
+)
+from emri_frequencydomainwaveforms_tpu.lisa.diagnostic import (
+    fisher,
+    get_mismatch,
+    inner_product,
+    snr,
+)
+from emri_frequencydomainwaveforms_tpu.lisa.likelihood import Likelihood, df_vector
+from emri_frequencydomainwaveforms_tpu.utils.transform import TransformContainer
+
+
+class TestSensitivity:
+    def test_psd_magnitudes(self):
+        # LISA bucket sensitivity ~ 1e-41..1e-40 around 3-10 mHz
+        f = np.array([3e-3, 1e-2])
+        sn = np.asarray(cornish_lisa_psd(jnp.asarray(f)))
+        assert (sn > 1e-42).all() and (sn < 1e-38).all()
+        sl = np.asarray(lisasens(jnp.asarray(f)))
+        assert (sl > 1e-42).all() and (sl < 1e-38).all()
+
+    def test_tdi_psds_positive(self):
+        f = np.logspace(-4, -1, 50)
+        for fn in (noisepsd_X, noisepsd_AE, noisepsd_T):
+            psd = np.asarray(fn(jnp.asarray(f)))
+            assert np.isfinite(psd).all() and (psd > 0).all()
+
+    def test_dispatcher(self):
+        f = jnp.asarray([1e-3, 5e-3])
+        psd = get_sensitivity(f, sens_fn="lisasens")
+        asd = get_sensitivity(f, sens_fn="lisasens", return_type="ASD")
+        np.testing.assert_allclose(np.asarray(asd) ** 2, np.asarray(psd), rtol=1e-12)
+        cs = get_sensitivity(f, sens_fn="lisasens", return_type="char_strain")
+        np.testing.assert_allclose(np.asarray(cs) ** 2, np.asarray(f * psd), rtol=1e-12)
+
+    def test_aet(self):
+        x, y, z = np.array([1.0]), np.array([2.0]), np.array([3.0])
+        a, e, t = AET(x, y, z)
+        np.testing.assert_allclose(a, (z - x) / np.sqrt(2))
+        np.testing.assert_allclose(t, (x + y + z) / np.sqrt(3))
+
+
+class TestInnerProduct:
+    def test_parseval_sine(self):
+        # white-PSD inner product of a sinusoid: <h|h> = 4 * sum df |h|^2
+        f = np.linspace(1e-3, 1e-2, 1000)
+        h = np.exp(2j * np.pi * f * 1e4) * 1e-20
+        val = inner_product([h], [h], f_arr=f, PSD=lambda ff: np.ones_like(ff))
+        df = f[1] - f[0]
+        np.testing.assert_allclose(val, 4 * np.sum(df * np.abs(h) ** 2), rtol=1e-10)
+
+    def test_snr_and_mismatch(self):
+        f = np.linspace(1e-3, 1e-2, 500)
+        h = 1e-19 * np.exp(1j * f * 1e3)
+        assert snr([h, h], f_arr=f) > 0
+        assert get_mismatch([h], [h], f_arr=f) < 1e-14
+        h2 = h * np.exp(0.1j)
+        m = get_mismatch([h], [h2], f_arr=f)
+        assert 1e-8 < m < 1.0
+
+    def test_fisher_gaussian_model(self):
+        # h(f; A) = A g(f): Fisher_AA = <g|g>; 1-param analytic check
+        f = np.linspace(1e-3, 1e-2, 300)
+        g = 1e-20 * np.exp(2j * np.pi * f * 5e3)
+
+        def wf(p):
+            return [p[0] * g]
+
+        gamma = fisher(wf, np.array([2.0]), 1e-6, f_arr=f, PSD=lambda ff: np.ones_like(ff))
+        expect = inner_product([g], [g], f_arr=f, PSD=lambda ff: np.ones_like(ff))
+        np.testing.assert_allclose(gamma[0, 0], expect, rtol=1e-6)
+
+
+class TestLikelihood:
+    def _setup(self):
+        f = jnp.asarray(np.linspace(1e-3, 1e-2, 200))
+        g_re = np.cos(2 * np.pi * np.asarray(f) * 3e3) * 1e-20
+        g_im = np.sin(2 * np.pi * np.asarray(f) * 3e3) * 1e-20
+        gr, gi = jnp.asarray(g_re), jnp.asarray(g_im)
+
+        def template(params):
+            a = params[0]
+            return [(a * gr, a * gi), (0.5 * a * gr, 0.5 * a * gi)]
+
+        like = Likelihood(template, 2, f_arr=f, parameter_transforms=None)
+        inj = template(jnp.asarray([3.0]))
+        data = [np.asarray(c[0]) + 1j * np.asarray(c[1]) for c in inj]
+        like.inject_signal(data, noise_fn=lambda ff: np.ones_like(ff) * 1e-40)
+        return like
+
+    def test_zero_at_truth(self):
+        like = self._setup()
+        ll = np.asarray(like(jnp.asarray([[3.0], [2.9], [3.1]])))
+        assert abs(ll[0]) < 1e-6
+        assert ll[1] < -1e-5 and ll[2] < -1e-5
+        # quadratic symmetry
+        np.testing.assert_allclose(ll[1], ll[2], rtol=1e-6)
+
+    def test_subset_chunking_matches(self):
+        like = self._setup()
+        params = jnp.asarray(np.random.default_rng(0).uniform(2, 4, (11, 1)))
+        full = np.asarray(like(params))
+        like.subset = 4
+        like._build()
+        chunked = np.asarray(like(params))
+        np.testing.assert_allclose(full, chunked, rtol=1e-12)
+
+    def test_transform_container(self):
+        tc = TransformContainer(
+            parameter_transforms={(0, 1): lambda a, b: [jnp.exp(a), jnp.exp(a) * jnp.exp(b)]},
+            fill_dict={"ndim_full": 4, "fill_values": np.array([7.0, 8.0]), "fill_inds": np.array([2, 3])},
+        )
+        out = np.asarray(tc.both_transforms(jnp.asarray([[0.0, np.log(0.5)]])))
+        np.testing.assert_allclose(out[0], [1.0, 0.5, 7.0, 8.0], rtol=1e-12)
+
+    def test_df_vector(self):
+        f = jnp.asarray([1.0, 2.0, 4.0, 7.0])
+        np.testing.assert_allclose(np.asarray(df_vector(f)), [1, 1, 2, 3])
