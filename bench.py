@@ -1,0 +1,80 @@
+"""Benchmark: all-mode FD waveforms/sec/chip (1-yr, dt=10s, eps=1e-2).
+
+The driver runs this on real TPU hardware and records the single JSON line.
+Configuration matches BASELINE.json: full default frequency grid of a 1-yr
+signal at dt=10 s (1.58M positive bins), all-mode generation at eps=1e-2,
+batched to amortize dispatch (the production likelihood shape is batched
+walkers). ``vs_baseline`` is measured against the BASELINE.json north-star
+of 1000 waveforms/sec/chip.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import emri_frequencydomainwaveforms_tpu  # noqa: F401  (x64 config)
+    import jax
+    import jax.numpy as jnp
+    from emri_frequencydomainwaveforms_tpu.models.amplitude import default_mode_table
+    from emri_frequencydomainwaveforms_tpu.models.waveform import (
+        default_frequencies,
+        fd_waveform_core,
+        waveform_prologue,
+    )
+
+    table = default_mode_table(30)
+    t_years, dt = 1.0, 10.0
+    freq = default_frequencies(t_years, dt)
+    f_np = freq[freq > 0]
+    f_arr = jnp.asarray(f_np)
+    uniform = (float(f_np[0]), float(f_np[1] - f_np[0]))
+
+    batch = 8
+
+    def gen(p0, e0):
+        pro = waveform_prologue(
+            1e6, 10.0, p0, e0, 0.7, 0.5, 1.0, 0.0, 0.0,
+            t_years=t_years, table=table, k_max=64, eps=1e-2,
+        )
+        return fd_waveform_core(
+            pro, table, f_arr, channels=True, uniform=uniform, band_runs=1024
+        )
+
+    gen_batch = jax.jit(jax.vmap(gen))
+    p0s = jnp.linspace(11.9, 12.1, batch)
+    e0s = jnp.full(batch, 0.35)
+
+    out = gen_batch(p0s, e0s)
+    jax.block_until_ready(out)
+    _ = np.asarray(out[0])  # force a real device sync through transfer
+
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = gen_batch(p0s, e0s)
+    _ = np.asarray(out[0])
+    t1 = time.perf_counter()
+
+    finite = bool(np.isfinite(np.asarray(out[0])).all())
+    wf_per_sec = batch * reps / (t1 - t0)
+    if not finite:
+        wf_per_sec = 0.0
+
+    print(
+        json.dumps(
+            {
+                "metric": "all-mode FD waveforms/sec/chip (1yr, dt=10s, eps=1e-2, full grid)",
+                "value": round(wf_per_sec, 3),
+                "unit": "waveforms/s",
+                "vs_baseline": round(wf_per_sec / 1000.0, 5),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

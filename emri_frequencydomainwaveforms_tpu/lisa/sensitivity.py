@@ -29,6 +29,19 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+
+def _xp(f):
+    """Array namespace of the input: numpy in -> numpy math (true f64).
+
+    Load-bearing on TPU: the device "f64" is a double-float emulation that
+    FLUSHES values below the f32 normal range (~1e-38) to zero — LISA PSDs
+    are ~1e-41..1e-36 strain^2/Hz, so evaluating them on-device silently
+    zeroes the likelihood whitening. Host-side callers (injection, inner
+    products) pass numpy arrays and get exact IEEE f64; jitted in-graph use
+    with traced arrays still works via jnp (rescale strains there instead).
+    """
+    return np if isinstance(f, (np.ndarray, np.generic, float, int)) else jnp
+
 C_SI = 299_792_458.0
 L_ARM = 2.5e9  # m
 F_STAR = C_SI / (2.0 * math.pi * L_ARM)  # ~19.09 mHz
@@ -73,6 +86,7 @@ def lisanoises(f, model: str = "SciRDv1", unit: str = "relativeFrequency"):
 
 def galactic_confusion(f, t_obs_years: float = 4.0):
     """Galactic WD foreground fit S_c(f) (arXiv:1803.01944 eq. 14)."""
+    xp = _xp(f)
     pars = {
         0.5: (0.133, 243.0, 482.0, 917.0, 2.58e-3),
         1.0: (0.171, 292.0, 1020.0, 1680.0, 2.15e-3),
@@ -85,9 +99,9 @@ def galactic_confusion(f, t_obs_years: float = 4.0):
     return (
         amp
         * f ** (-7.0 / 3.0)
-        * jnp.exp(-(f**alpha) + beta * f * jnp.sin(kappa * f))
+        * xp.exp(-(f**alpha) + beta * f * xp.sin(kappa * f))
         # clamp: TPU f64-emulated tanh misbehaves at large |x| (saturated anyway)
-        * (1.0 + jnp.tanh(jnp.clip(gamma * (fk - f), -20.0, 20.0)))
+        * (1.0 + xp.tanh(xp.clip(gamma * (fk - f), -20.0, 20.0)))
     )
 
 
@@ -97,11 +111,11 @@ def cornish_lisa_psd(f, sky_averaged: bool = True, t_obs_years: float = 1.0):
     Pins reference ``sensitivity.py:1227`` (same paper) including the
     galactic background term.
     """
-    f = jnp.asarray(f)
+    xp = _xp(f)
     p_oms = (1.5e-11) ** 2 * (1.0 + (2e-3 / f) ** 4)
     p_acc = (3e-15) ** 2 * (1.0 + (0.4e-3 / f) ** 2) * (1.0 + (f / 8e-3) ** 4)
     pn = (
-        p_oms + 2.0 * (1.0 + jnp.cos(f / F_STAR) ** 2) * p_acc / (2.0 * math.pi * f) ** 4
+        p_oms + 2.0 * (1.0 + xp.cos(f / F_STAR) ** 2) * p_acc / (2.0 * math.pi * f) ** 4
     ) / L_ARM**2
     sky_fac = 10.0 / 3.0 if sky_averaged else 1.0
     sn = sky_fac * pn * (1.0 + 0.6 * (f / F_STAR) ** 2)
@@ -110,7 +124,6 @@ def cornish_lisa_psd(f, sky_averaged: bool = True, t_obs_years: float = 1.0):
 
 def lisasens(f, model: str = "SciRDv1", t_obs_years: float = 4.0, include_confusion: bool = True):
     """Sky-averaged sensitivity PSD from the SciRDv1 instrument noises."""
-    f = jnp.asarray(f)
     sop = _oms_noise(f, model)
     spm = _pm_acc_noise(f, model) / (2.0 * math.pi * f) ** 4
     sn = (10.0 / 3.0) / L_ARM**2 * (sop + 4.0 * spm) * (1.0 + 0.6 * (f / F_STAR) ** 2)
@@ -128,21 +141,24 @@ def _tdi_xs(f, model="SciRDv1"):
 def noisepsd_X(f, model: str = "SciRDv1"):
     """First-generation TDI X PSD (MLDC convention, reference ``:435``)."""
     x, spm, sop = _tdi_xs(f, model)
-    return 16.0 * jnp.sin(x) ** 2 * (2.0 * (1.0 + jnp.cos(x) ** 2) * spm + sop)
+    xp = _xp(f)
+    return 16.0 * xp.sin(x) ** 2 * (2.0 * (1.0 + xp.cos(x) ** 2) * spm + sop)
 
 
 def noisepsd_XY(f, model: str = "SciRDv1"):
     """TDI X-Y cross PSD."""
     x, spm, sop = _tdi_xs(f, model)
-    return -4.0 * jnp.sin(2.0 * x) * jnp.sin(x) * (sop + 4.0 * spm)
+    xp = _xp(f)
+    return -4.0 * xp.sin(2.0 * x) * xp.sin(x) * (sop + 4.0 * spm)
 
 
 def noisepsd_AE(f, model: str = "SciRDv1", t_obs_years: float = 4.0, include_confusion: bool = False):
     """TDI A/E PSD (reference ``noisepsd_AE``)."""
     x, spm, sop = _tdi_xs(f, model)
-    psd = 8.0 * jnp.sin(x) ** 2 * (
-        2.0 * spm * (3.0 + 2.0 * jnp.cos(x) + jnp.cos(2.0 * x))
-        + sop * (2.0 + jnp.cos(x))
+    xp = _xp(f)
+    psd = 8.0 * xp.sin(x) ** 2 * (
+        2.0 * spm * (3.0 + 2.0 * xp.cos(x) + xp.cos(2.0 * x))
+        + sop * (2.0 + xp.cos(x))
     )
     if include_confusion:
         psd = psd + wd_confusion_AE(f, t_obs_years)
@@ -152,21 +168,22 @@ def noisepsd_AE(f, model: str = "SciRDv1", t_obs_years: float = 4.0, include_con
 def noisepsd_T(f, model: str = "SciRDv1"):
     """TDI T (null-channel) PSD."""
     x, spm, sop = _tdi_xs(f, model)
+    xp = _xp(f)
     return (
-        16.0 * sop * (1.0 - jnp.cos(x)) * jnp.sin(x) ** 2
-        + 128.0 * spm * jnp.sin(x) ** 2 * jnp.sin(0.5 * x) ** 4
+        16.0 * sop * (1.0 - xp.cos(x)) * xp.sin(x) ** 2
+        + 128.0 * spm * xp.sin(x) ** 2 * xp.sin(0.5 * x) ** 4
     )
 
 
 def _strain_to_tdi_x_factor(f):
     """Approximate |R| mapping strain PSD -> TDI-X units (long-wavelength)."""
+    xp = _xp(f)
     x = 2.0 * math.pi * f * L_ARM / C_SI
-    return 16.0 * x**2 * jnp.sin(x) ** 2 * (3.0 / 10.0) / (1.0 + 0.6 * x**2)
+    return 16.0 * x**2 * xp.sin(x) ** 2 * (3.0 / 10.0) / (1.0 + 0.6 * x**2)
 
 
 def wd_confusion_X(f, t_obs_years: float = 4.0):
     """Galactic confusion projected into TDI X units (reference ``WDconfusionX``)."""
-    f = jnp.asarray(f)
     return galactic_confusion(f, t_obs_years) * _strain_to_tdi_x_factor(f)
 
 
@@ -201,13 +218,14 @@ def get_sensitivity(f, sens_fn="lisasens", return_type: str = "PSD", **kwargs):
     ``return_type``: "PSD", "ASD" (sqrt), or "char_strain" (sqrt(f * PSD)).
     """
     fn = _SENS_FNS[sens_fn] if isinstance(sens_fn, str) else sens_fn
-    psd = fn(jnp.asarray(f), **kwargs)
+    xp = _xp(f)
+    psd = fn(f, **kwargs)
     if return_type == "PSD":
         return psd
     if return_type == "ASD":
-        return jnp.sqrt(psd)
+        return xp.sqrt(psd)
     if return_type == "char_strain":
-        return jnp.sqrt(jnp.asarray(f) * psd)
+        return xp.sqrt(f * psd)
     raise ValueError(f"unknown return_type {return_type!r}")
 
 
