@@ -26,6 +26,8 @@ def main() -> None:
         waveform_prologue,
     )
 
+    from emri_frequencydomainwaveforms_tpu.models.waveform import band_offsets_for
+
     table = default_mode_table(30)
     t_years, dt = 1.0, 10.0
     freq = default_frequencies(t_years, dt)
@@ -33,18 +35,33 @@ def main() -> None:
     f_arr = jnp.asarray(f_np)
     uniform = (float(f_np[0]), float(f_np[1] - f_np[0]))
 
-    batch = 8
+    batch = 32
+    band_runs = 2048
+
+    # frozen mode selection + shared band windows, computed once from a
+    # representative source: keeps per-lane work identical so the banded
+    # kernel's window accumulation stays a dynamic slice under vmap
+    # (per-lane offsets would lower to scatter).
+    pro0 = waveform_prologue(
+        1e6, 10.0, 12.0, 0.35, 0.7, 0.5, 1.0, 0.0, 0.0,
+        t_years=t_years, table=table, k_max=64, eps=1e-2,
+    )
+    forced_idx = np.asarray(pro0.sel.idx)
+    offsets = band_offsets_for(pro0, table, uniform[0], uniform[1], 64, band_runs)
+    offsets_j = jnp.asarray(offsets)
 
     def gen(p0, e0):
         pro = waveform_prologue(
             1e6, 10.0, p0, e0, 0.7, 0.5, 1.0, 0.0, 0.0,
             t_years=t_years, table=table, k_max=64, eps=1e-2,
+            forced_idx=forced_idx,
         )
         return fd_waveform_core(
-            pro, table, f_arr, channels=True, uniform=uniform, band_runs=1024
+            pro, table, f_arr, channels=True, uniform=uniform,
+            band_runs=band_runs, band_offsets=offsets_j,
         )
 
-    gen_batch = jax.jit(jax.vmap(gen))
+    gen_batch = jax.jit(jax.vmap(gen, in_axes=(0, 0)))
     p0s = jnp.linspace(11.9, 12.1, batch)
     e0s = jnp.full(batch, 0.35)
 

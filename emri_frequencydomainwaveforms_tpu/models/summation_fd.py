@@ -376,6 +376,7 @@ def fd_mode_sum_uniform(
     *,
     bins_per_run: int = 64,
     band_runs: int | None = None,
+    band_offsets: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Gather-minimal FD summation for UNIFORM output grids f = f0 + i*df.
 
@@ -402,6 +403,14 @@ def fd_mode_sum_uniform(
       contribution is added into the padded output at its run offset via a
       contiguous dynamic read-modify-write.
 
+    band_offsets: optional per-mode window start runs, (k_max,) int32.
+    CRITICAL under vmap: per-lane (traced, batched) window offsets force XLA
+    to lower the read-modify-write as a scatter (~100x slower); offsets
+    passed here UNBATCHED (vmap in_axes=None / closed-over constants, e.g.
+    computed once per walker batch from a representative source with a
+    margin) keep it a true dynamic slice. When omitted, offsets are derived
+    per lane from each mode's f_start (correct but slow under vmap).
+
     Returns (o1_re, o1_im, o2_re, o2_im), each (nf,), f64.
     """
     t_knots = inp.t_knots
@@ -419,13 +428,11 @@ def fd_mode_sum_uniform(
 
     def body(carry, mode):
         o1r, o1i, o2r, o2i = carry
-        (cphi_m, ar_ci, ai_ci, f_knots_i, w1r, w1i, w2r, w2i, live_i) = mode
+        (cphi_m, ar_ci, ai_ci, f_knots_i, w1r, w1i, w2r, w2i, live_i, g0_in) = mode
 
         f_start = f_knots_i[0]
         f_end = f_knots_i[jnp.maximum(n_live - 1, 0)]
-        g0 = jnp.clip(
-            jnp.floor((f_start - f0) / run_df).astype(jnp.int32), 0, g_total
-        )
+        g0 = jnp.clip(g0_in, 0, g_total)
         f_node = f0 + (g0.astype(f_pos_dtype) + jnp.arange(n_nodes, dtype=f_pos_dtype)) * run_df
 
         # --- segment search: hand-rolled branchless binary search over the
@@ -562,6 +569,10 @@ def fd_mode_sum_uniform(
     f_knots_all = (
         inp.m_sel[:, None] * inp.f_phi_knots[None, :] + inp.n_sel[:, None] * inp.f_r_knots[None, :]
     )
+    if band_offsets is None:
+        g0_all = jnp.floor((f_knots_all[:, 0] - f0) / run_df).astype(jnp.int32)
+    else:
+        g0_all = jnp.asarray(band_offsets, jnp.int32)
     (o1r, o1i, o2r, o2i), _ = jax.lax.scan(
         body,
         (zero, zero, zero, zero),
@@ -575,6 +586,7 @@ def fd_mode_sum_uniform(
             inp.w2_re,
             inp.w2_im,
             inp.mode_live,
+            g0_all,
         ),
     )
     dt_out = t_knots.dtype

@@ -133,6 +133,7 @@ def fd_waveform_core(
     uniform: tuple[float, float] | None = None,
     band_runs: int | None = None,
     bins_per_run: int = 64,
+    band_offsets=None,
 ):
     """FD waveform on positive frequencies.
 
@@ -145,7 +146,11 @@ def fd_waveform_core(
     uniform: static ``(f0, df)`` when ``f_pos[i] = f0 + i*df`` — routes to
     the gather-minimal banded kernel (`fd_mode_sum_uniform`), the fast path
     for default and ``[::k]``-downsampled grids. ``band_runs`` bounds each
-    mode's frequency window (None = full grid, always safe).
+    mode's frequency window (None = full grid, always safe);
+    ``band_offsets`` (k_max,) shares window-start runs across a vmapped
+    batch (see `fd_mode_sum_uniform` — per-lane offsets degrade the window
+    accumulation to scatter; compute them once per batch via
+    `band_offsets_for`).
     """
     sig = _sigma(table)
     ypr, ypi = pro.y_plus
@@ -180,7 +185,8 @@ def fd_waveform_core(
         # no interpolation at all), huge grids amortize with wide runs.
         r_eff = max(1, min(bins_per_run, nf // 8192))
         o1r, o1i, o2r, o2i = fd_mode_sum_uniform(
-            inp, f0, dfreq, nf, bins_per_run=r_eff, band_runs=band_runs
+            inp, f0, dfreq, nf, bins_per_run=r_eff, band_runs=band_runs,
+            band_offsets=band_offsets,
         )
     else:
         o1r, o1i, o2r, o2i = fd_mode_sum(inp, f_pos)
@@ -272,6 +278,41 @@ def fd_channels_on_grid(pro: WaveformPrologue, table: ModeTable, freq: jax.Array
     hc_re = jnp.where(zero, 0.0, hcr)
     hc_im = jnp.where(zero, 0.0, hci * sgn)
     return (hp_re, hp_im), (hc_re, hc_im)
+
+
+def band_offsets_for(
+    pro: WaveformPrologue,
+    table: ModeTable,
+    f0: float,
+    df: float,
+    bins_per_run: int,
+    band_runs: int,
+    margin_frac: float = 0.125,
+) -> np.ndarray:
+    """Shared per-mode window-start runs from a representative source.
+
+    Computed ONCE per walker batch (host side, concrete prologue) so the
+    vmapped kernel's dynamic-window accumulation stays a true dynamic slice.
+    The margin absorbs band drift across nearby walkers; each lane's
+    in-range mask keeps correctness regardless (content outside the window
+    is dropped, so pick margins generously for wide posteriors).
+    """
+    from ..ops.cubic_spline import fit_cubic_spline, spline_eval
+
+    t = np.asarray(pro.t_knots)
+    sp_pp = fit_cubic_spline(pro.t_knots, pro.phi_phi, bc="not-a-knot")
+    sp_pr = fit_cubic_spline(pro.t_knots, pro.phi_r, bc="not-a-knot")
+    two_pi = 2.0 * np.pi
+    f_phi0 = float(spline_eval(sp_pp, pro.t_knots[:1], deriv=1)[0]) / two_pi
+    f_r0 = float(spline_eval(sp_pr, pro.t_knots[:1], deriv=1)[0]) / two_pi
+    sel_idx = np.asarray(pro.sel.idx)
+    m_sel = table.ms[sel_idx].astype(np.float64)
+    n_sel = table.ns[sel_idx].astype(np.float64)
+    f_start = m_sel * f_phi0 + n_sel * f_r0
+    run_df = bins_per_run * df
+    margin = int(band_runs * margin_frac)
+    g0 = np.floor((f_start - f0) / run_df).astype(np.int32) - margin
+    return np.maximum(g0, 0)
 
 
 def td_waveform_core(pro: WaveformPrologue, table: ModeTable, t_grid: jax.Array):

@@ -157,3 +157,19 @@ class TestPriors:
         flat = sampler.get_chain(discard=250)["model_0"][:, 0, :, 0, :].reshape(-1, 2)
         np.testing.assert_allclose(flat.mean(axis=0), 0.5, atol=0.05)
         np.testing.assert_allclose(flat.std(axis=0), np.sqrt(1 / 12), rtol=0.1)
+
+
+class TestGaussianMoves:
+    def test_gaussian_move_sampling(self):
+        from emri_frequencydomainwaveforms_tpu.inference.moves.gaussian import GaussianMove
+
+        priors = {i: uniform_dist(-10, 10) for i in range(NDIM)}
+        for mode, cov in [("Gaussian", 0.05), ("AM", 0.05), ("DE", 0.05)]:
+            sampler = EnsembleSampler(
+                32, [NDIM], log_like_gauss, {"model_0": ProbDistContainer(priors)},
+                moves=GaussianMove(cov, mode=mode), seed=4,
+            )
+            start = np.random.default_rng(2).normal(np.asarray(MEANS), SIGMA, (1, 32, NDIM))
+            sampler.run_mcmc(jnp.asarray(start), 300, burn=50)
+            flat = sampler.get_chain(discard=100)["model_0"][:, 0, :, 0, :].reshape(-1, NDIM)
+            np.testing.assert_allclose(flat.mean(axis=0), np.asarray(MEANS), atol=0.25)
