@@ -1,0 +1,122 @@
+"""Reversible-jump birth/death move (prior-draw births), jittable.
+
+Rebuilds the core of Eryn's RJ machinery (reference ``Eryn/eryn/moves/rj.py:14``
+— birth/death across the ``nleaves`` axis with ``get_model_change_proposal``
+:122 — and ``moves/distgenrj.py:11`` ``DistributionGenerateRJ``: births drawn
+from the prior, so the prior density cancels the proposal density and the
+acceptance factors reduce to the leaf-count combinatorics).
+
+State layout follows the Eryn contract: ``coords (ntemps, nwalkers,
+nleaves_max, ndim)`` with boolean ``inds`` activating leaves. One call makes
+one birth-or-death proposal per walker:
+
+  * birth: activate a uniformly-chosen inactive leaf at a prior draw;
+    q(birth) selects among ``n_inactive`` slots, reverse death selects among
+    ``n_active + 1`` -> factors = log(n_inactive) - log(n_active + 1);
+  * death: deactivate a uniformly-chosen active leaf;
+    factors = log(n_active) - log(n_inactive + 1).
+
+The log-likelihood callable receives ``(coords, inds)`` for a whole
+(ntemps*nwalkers) batch and must handle masked leaves (e.g. a
+GlobalLikelihood-style summed template). Ensemble-sampler integration of the
+trans-dimensional bookkeeping is tracked in PARITY.md; this move is usable
+standalone or from custom loops.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+class DistributionGenerateRJ:
+    """Prior-draw RJ birth/death over a single branch."""
+
+    def __init__(self, prior, nleaves_min: int = 0, nleaves_max: int = 1):
+        self.prior = prior  # ProbDistContainer with .logpdf and unit-cube ppf
+        self.nleaves_min = nleaves_min
+        self.nleaves_max = nleaves_max
+
+    def propose(
+        self,
+        key: jax.Array,
+        coords: jax.Array,  # (ntemps, nwalkers, nleaves_max, ndim)
+        inds: jax.Array,  # bool (ntemps, nwalkers, nleaves_max)
+        log_like: jax.Array,  # (ntemps, nwalkers)
+        log_prior: jax.Array,
+        betas: jax.Array,
+        logl_fn: Callable,  # (coords, inds) -> (ntemps, nwalkers)
+    ):
+        ntemps, nwalkers, nleaves_max, ndim = coords.shape
+        k_bd, k_slot, k_draw, k_u = jax.random.split(key, 4)
+
+        n_active = jnp.sum(inds, axis=-1)  # (T, W)
+        can_birth = n_active < self.nleaves_max
+        can_death = n_active > self.nleaves_min
+        do_birth = jnp.where(
+            can_birth & can_death,
+            jax.random.uniform(k_bd, (ntemps, nwalkers)) < 0.5,
+            can_birth,
+        )
+
+        # choose a slot: among inactive for birth, among active for death.
+        u_slot = jax.random.uniform(k_slot, (ntemps, nwalkers, nleaves_max))
+        score_birth = jnp.where(inds, -jnp.inf, u_slot)
+        score_death = jnp.where(inds, u_slot, -jnp.inf)
+        slot = jnp.where(
+            do_birth,
+            jnp.argmax(score_birth, axis=-1),
+            jnp.argmax(score_death, axis=-1),
+        )  # (T, W)
+
+        # prior draw for births via the unit-cube ppf (jit-safe: uniform
+        # component-wise ppf; multi-index priors draw componentwise too)
+        u = jax.random.uniform(k_draw, (ntemps, nwalkers, ndim))
+        new_leaf = self._ppf(u)
+
+        onehot = jax.nn.one_hot(slot, nleaves_max, dtype=bool)
+        inds_new = jnp.where(do_birth[..., None], inds | onehot, inds & ~onehot)
+        coords_new = jnp.where(
+            (do_birth[..., None] & onehot)[..., None], new_leaf[..., None, :], coords
+        )
+
+        lp_new = self._leaf_logprior(coords_new, inds_new)
+        ll_new = logl_fn(coords_new, inds_new)
+        ll_new = jnp.where(jnp.isnan(ll_new), -1e300, ll_new)
+
+        n_inactive = nleaves_max - n_active
+        factors_birth = jnp.log(jnp.maximum(n_inactive, 1)) - jnp.log(n_active + 1.0)
+        factors_death = jnp.log(jnp.maximum(n_active, 1)) - jnp.log(n_inactive + 1.0)
+        factors = jnp.where(do_birth, factors_birth, factors_death)
+        # prior-draw births: prior density of the new leaf cancels q(draw),
+        # so only the delta of the REMAINING prior terms enters; with
+        # independent leaves that is zero for birth and zero for death.
+        lnpdiff = factors + betas[:, None] * (ll_new - log_like)
+
+        accept = jnp.log(jax.random.uniform(k_u, (ntemps, nwalkers))) < lnpdiff
+        legal = jnp.where(do_birth, can_birth, can_death)
+        accept = accept & legal
+
+        coords = jnp.where(accept[..., None, None], coords_new, coords)
+        inds = jnp.where(accept[..., None], inds_new, inds)
+        log_like = jnp.where(accept, ll_new, log_like)
+        log_prior = jnp.where(accept, lp_new, log_prior)
+        return coords, inds, log_like, log_prior, jnp.sum(accept, axis=1).astype(jnp.int32)
+
+    def _ppf(self, u):
+        cols = []
+        for i in range(u.shape[-1]):
+            dist = self.prior.priors_in.get(i)
+            if dist is None or not hasattr(dist, "min_val"):
+                raise NotImplementedError("RJ prior draws need per-index uniform-like dists")
+            cols.append(dist.min_val + u[..., i] * (dist.max_val - dist.min_val))
+        return jnp.stack(cols, axis=-1)
+
+    def _leaf_logprior(self, coords, inds):
+        lp_leaf = self.prior.logpdf(coords)  # (T, W, L)
+        return jnp.sum(jnp.where(inds, lp_leaf, 0.0), axis=-1)
+
+
+__all__ = ["DistributionGenerateRJ"]

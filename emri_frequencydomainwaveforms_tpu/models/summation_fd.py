@@ -598,4 +598,267 @@ def fd_mode_sum_uniform(
     )
 
 
-__all__ = ["FDKernelInputs", "prepare_fd_inputs", "fd_mode_sum", "fd_mode_sum_uniform"]
+def _uniform_mode_tables(
+    cphi_m, ar_ci, ai_ci, f_knots_i, g0, t_knots, n_live, f0, df, r, n_nodes, run_df
+):
+    """Level-1 node evaluation for ONE mode -> per-run coefficient tables.
+
+    Same math as the scan body of `fd_mode_sum_uniform` (f64 phase path,
+    f32 envelope with the Bessel correction), returning the f32 tables the
+    Pallas dense kernel consumes: phase Hermite (G, 4), envelope Catmull-Rom
+    (G, 8), and the f32 band limits.
+    """
+    f32 = jnp.float32
+    k = t_knots.shape[0]
+    dt64 = t_knots.dtype
+    f_start = f_knots_i[0]
+    f_end = f_knots_i[jnp.maximum(n_live - 1, 0)]
+    f_node = f0 + (g0.astype(dt64) + jnp.arange(n_nodes, dtype=dt64)) * run_df
+
+    ramp = jnp.maximum(jnp.arange(k) - (n_live - 1), 0).astype(f_knots_i.dtype)
+    f_search = f_knots_i + ramp * jnp.maximum(jnp.abs(f_knots_i[-1]), 1.0)
+    lo = jnp.zeros((n_nodes,), jnp.int32)
+    hi = jnp.full((n_nodes,), k - 1, jnp.int32)
+    for _ in range(int(np.ceil(np.log2(k)))):
+        mid = (lo + hi + 1) // 2
+        pred = jnp.take(f_search, mid) <= f_node
+        lo = jnp.where(pred, mid, lo)
+        hi = jnp.where(pred, hi, mid - 1)
+    j = jnp.clip(lo, 0, k - 2)
+    j = jnp.minimum(j, jnp.maximum(n_live - 2, 0))
+
+    cj = jnp.take(cphi_m, j, axis=0)
+    c0, c1, c2, c3 = cj[..., 0], cj[..., 1], cj[..., 2], cj[..., 3]
+    t_lo = jnp.take(t_knots, j)
+    h_seg = jnp.take(t_knots, j + 1) - t_lo
+    f_lo = jnp.take(f_knots_i, j)
+    f_hi = jnp.take(f_knots_i, j + 1)
+
+    y = _TWO_PI * f_node
+    denom = jnp.where(jnp.abs(f_hi - f_lo) > 0, f_hi - f_lo, 1.0)
+    dx = jnp.clip((f_node - f_lo) / denom, -0.5, 1.5) * h_seg
+    for _ in range(3):
+        fp = c1 + dx * (2.0 * c2 + 3.0 * c3 * dx) - y
+        fpp = 2.0 * c2 + 6.0 * c3 * dx
+        fpp = jnp.where(jnp.abs(fpp) > 1e-300, fpp, 1e-300)
+        dx = jnp.clip(dx - fp / fpp, -0.5 * h_seg, 1.5 * h_seg)
+    t_star = t_lo + dx
+
+    phi = c0 + dx * (c1 + dx * (c2 + dx * c3))
+    psi = phi - y * t_star
+    dx_env = jnp.clip(dx, 0.0, h_seg)
+    fdot = jnp.maximum((2.0 * c2 + 6.0 * c3 * dx_env) / _TWO_PI, 1e-300)
+    fddot = (6.0 * c3) / _TWO_PI
+
+    dx32 = dx_env.astype(f32)
+    arj = jnp.take(ar_ci, j, axis=0).astype(f32)
+    aij = jnp.take(ai_ci, j, axis=0).astype(f32)
+    a_re = arj[..., 0] + dx32 * (arj[..., 1] + dx32 * (arj[..., 2] + dx32 * arj[..., 3]))
+    a_im = aij[..., 0] + dx32 * (aij[..., 1] + dx32 * (aij[..., 2] + dx32 * aij[..., 3]))
+    w_arg = -_TWO_PI * fdot**3 / (3.0 * jnp.maximum(fddot * fddot, 1e-300))
+    w32 = jnp.clip(w_arg, -1e12, -1e-6).astype(f32)
+    k_re, k_im = kve_one_third_imag(w32)
+    corr = jnp.sqrt(2.0 * jnp.abs(w32) * f32(1.0 / math.pi))
+    inv_sq = jax.lax.rsqrt(jnp.maximum(fdot.astype(f32), f32(1e-37)))
+    cr_f = k_re * corr * inv_sq
+    ci_f = k_im * corr * inv_sq
+    e_re = a_re * cr_f + a_im * ci_f
+    e_im = a_re * ci_f - a_im * cr_f
+
+    psi_lo, psi_hi = psi[:-1], psi[1:]
+    d_lo = -_TWO_PI * t_star[:-1] * run_df
+    d_hi = -_TWO_PI * t_star[1:] * run_df
+    dpsi = psi_hi - psi_lo
+    p0c = (psi_lo - _TWO_PI * jnp.round(psi_lo * (1.0 / _TWO_PI))).astype(f32)
+    p1c = d_lo.astype(f32)
+    p2c = (3.0 * dpsi - 2.0 * d_lo - d_hi).astype(f32)
+    p3c = (-2.0 * dpsi + d_lo + d_hi).astype(f32)
+
+    def cr_coeffs(v):
+        vm = jnp.concatenate([v[:1], v[:-1]])[:-1]
+        v0 = v[:-1]
+        v1 = v[1:]
+        vp = jnp.concatenate([v[1:], v[-1:]])[1:]
+        s0 = 0.5 * (v1 - vm)
+        s1 = 0.5 * (vp - v0)
+        return v0, s0, 3.0 * (v1 - v0) - 2.0 * s0 - s1, -2.0 * (v1 - v0) + s0 + s1
+
+    er0, er1, er2, er3 = cr_coeffs(e_re)
+    ei0, ei1, ei2, ei3 = cr_coeffs(e_im)
+
+    pc = jnp.stack([p0c, p1c, p2c, p3c], axis=-1)  # (G, 4)
+    ec = jnp.stack([er0, er1, er2, er3, ei0, ei1, ei2, ei3], axis=-1)  # (G, 8)
+    # sanitize: masked/garbage modes can carry NaN through the tables; the
+    # dense kernel's keep-mask can't null NaN*0, so null them here
+    pc = jnp.where(jnp.isfinite(pc), pc, 0.0)
+    ec = jnp.where(jnp.isfinite(ec), ec, 0.0)
+    return pc, ec, f_start.astype(f32), f_end.astype(f32)
+
+
+def fd_mode_sum_uniform_pallas(
+    inp: FDKernelInputs,
+    f0: float,
+    df: float,
+    nf: int,
+    *,
+    bins_per_run: int = 64,
+    band_runs: int | None = None,
+    band_offsets: jax.Array | None = None,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Pallas-accelerated variant of `fd_mode_sum_uniform`.
+
+    Level 1 (node math) runs vectorized over modes in XLA; the dense
+    evaluation + banded window accumulation runs in the Pallas kernel
+    (`ops.pallas.fd_dense`), which owns the HBM window DMA — no scatter
+    lowering, no scan-carry copies. ``interpret=True`` runs the kernel in
+    the Pallas interpreter (CPU testing).
+    """
+    from ..ops.pallas.fd_dense import fd_dense_accumulate
+
+    t_knots = inp.t_knots
+    r = bins_per_run
+    g_total = -(-nf // r)
+    g_band = g_total if band_runs is None else min(band_runs, g_total)
+    # Mosaic lane tiling: window length and offsets in 128-run units
+    g_band = -(-g_band // 128) * 128
+    n_nodes = g_band + 1
+    g_pad = -(-(g_total + g_band) // 128) * 128
+    run_df = r * df
+
+    cphi_all = (
+        inp.m_sel[:, None, None] * inp.c_phi_phi[None]
+        + inp.n_sel[:, None, None] * inp.c_phi_r[None]
+    )
+    f_knots_all = (
+        inp.m_sel[:, None] * inp.f_phi_knots[None, :] + inp.n_sel[:, None] * inp.f_r_knots[None, :]
+    )
+    if band_offsets is None:
+        g0_all = jnp.floor((f_knots_all[:, 0] - f0) / run_df).astype(jnp.int32)
+    else:
+        g0_all = jnp.asarray(band_offsets, jnp.int32)
+    # round DOWN to 128-run boundaries (extends coverage below the band;
+    # band_runs must include >=128 runs of slack above the band width)
+    g0_all = jnp.clip((g0_all // 128) * 128, 0, g_total)
+
+    pc, ec, fst, fen = jax.vmap(
+        lambda c, ar, ai, fk, g0: _uniform_mode_tables(
+            c, ar, ai, fk, g0, t_knots, inp.n_live, f0, df, r, n_nodes, run_df
+        )
+    )(cphi_all, inp.ar_c, inp.ai_c, f_knots_all, g0_all)
+
+    f32 = jnp.float32
+    scalars = jnp.stack(
+        [
+            fst,
+            fen,
+            inp.mode_live.astype(f32),
+            inp.w1_re.astype(f32),
+            inp.w1_im.astype(f32),
+            inp.w2_re.astype(f32),
+            inp.w2_im.astype(f32),
+            jnp.zeros_like(fst),
+        ],
+        axis=-1,
+    )
+    out3 = fd_dense_accumulate(
+        pc.swapaxes(1, 2), ec.swapaxes(1, 2), scalars, g0_all,
+        r=r, f0=f0, df=df, g_pad=g_pad, interpret=interpret,
+    )
+    # (4, r, G_pad): bin g*r + rr at [:, rr, g] -> transpose + flatten
+    out = out3.transpose(0, 2, 1).reshape(4, -1)
+    dt_out = t_knots.dtype
+    return (
+        out[0, :nf].astype(dt_out),
+        out[1, :nf].astype(dt_out),
+        out[2, :nf].astype(dt_out),
+        out[3, :nf].astype(dt_out),
+    )
+
+
+def fd_mode_sum_uniform_pallas_batched(
+    inp_b: FDKernelInputs,  # every field with a leading batch axis
+    f0: float,
+    df: float,
+    nf: int,
+    *,
+    bins_per_run: int = 64,
+    band_runs: int | None = None,
+    band_offsets: jax.Array | None = None,
+    interpret: bool = False,
+):
+    """Walker-batched Pallas FD summation -> 4 arrays of (B, nf).
+
+    The batch rides the Pallas GRID (see
+    `ops.pallas.fd_dense.fd_dense_accumulate_batched`); window offsets are
+    SHARED across the batch and must be supplied (compute once via
+    `models.waveform.band_offsets_for` from a representative source).
+    """
+    from ..ops.pallas.fd_dense import fd_dense_accumulate_batched
+
+    if band_offsets is None:
+        raise ValueError("batched pallas path requires shared band_offsets")
+
+    t_knots0 = inp_b.t_knots[0]
+    r = bins_per_run
+    g_total = -(-nf // r)
+    g_band = g_total if band_runs is None else min(band_runs, g_total)
+    g_band = -(-g_band // 128) * 128
+    n_nodes = g_band + 1
+    g_pad = -(-(g_total + g_band) // 128) * 128
+    run_df = r * df
+
+    g0_all = jnp.clip((jnp.asarray(band_offsets, jnp.int32) // 128) * 128, 0, g_total)
+
+    def per_element(inp: FDKernelInputs):
+        cphi_all = (
+            inp.m_sel[:, None, None] * inp.c_phi_phi[None]
+            + inp.n_sel[:, None, None] * inp.c_phi_r[None]
+        )
+        f_knots_all = (
+            inp.m_sel[:, None] * inp.f_phi_knots[None, :]
+            + inp.n_sel[:, None] * inp.f_r_knots[None, :]
+        )
+        pc, ec, fst, fen = jax.vmap(
+            lambda c, ar, ai, fk, g0: _uniform_mode_tables(
+                c, ar, ai, fk, g0, inp.t_knots, inp.n_live, f0, df, r, n_nodes, run_df
+            )
+        )(cphi_all, inp.ar_c, inp.ai_c, f_knots_all, g0_all)
+        f32 = jnp.float32
+        scalars = jnp.stack(
+            [
+                fst,
+                fen,
+                inp.mode_live.astype(f32),
+                inp.w1_re.astype(f32),
+                inp.w1_im.astype(f32),
+                inp.w2_re.astype(f32),
+                inp.w2_im.astype(f32),
+                jnp.zeros_like(fst),
+            ],
+            axis=-1,
+        )
+        return pc.swapaxes(1, 2), ec.swapaxes(1, 2), scalars
+
+    pc_b, ec_b, sc_b = jax.vmap(per_element)(inp_b)
+    out4 = fd_dense_accumulate_batched(
+        pc_b, ec_b, sc_b, g0_all, r=r, f0=f0, df=df, g_pad=g_pad, interpret=interpret
+    )
+    out = out4.transpose(0, 1, 3, 2).reshape(out4.shape[0], 4, -1)
+    dt_out = t_knots0.dtype
+    return (
+        out[:, 0, :nf].astype(dt_out),
+        out[:, 1, :nf].astype(dt_out),
+        out[:, 2, :nf].astype(dt_out),
+        out[:, 3, :nf].astype(dt_out),
+    )
+
+
+__all__ = [
+    "FDKernelInputs",
+    "prepare_fd_inputs",
+    "fd_mode_sum",
+    "fd_mode_sum_uniform",
+    "fd_mode_sum_uniform_pallas",
+    "fd_mode_sum_uniform_pallas_batched",
+]

@@ -173,3 +173,60 @@ class TestGaussianMoves:
             sampler.run_mcmc(jnp.asarray(start), 300, burn=50)
             flat = sampler.get_chain(discard=100)["model_0"][:, 0, :, 0, :].reshape(-1, NDIM)
             np.testing.assert_allclose(flat.mean(axis=0), np.asarray(MEANS), atol=0.25)
+
+
+class TestReversibleJump:
+    def test_rj_recovers_source_count(self):
+        # toy: data = sum of 2 Gaussian pulses on a grid; leaves = pulses.
+        # RJ birth/death should concentrate the posterior at nleaves = 2.
+        from emri_frequencydomainwaveforms_tpu.inference.moves.rj import DistributionGenerateRJ
+
+        xgrid = jnp.linspace(0, 10, 101)
+        true_centers = jnp.array([3.0, 7.0])
+
+        def pulse(c):
+            return jnp.exp(-0.5 * (xgrid - c) ** 2 / 0.3**2)
+
+        data = pulse(true_centers[0]) + pulse(true_centers[1])
+        sigma_n = 0.05
+
+        def logl_fn(coords, inds):
+            # coords (T, W, L, 1): sum active pulses
+            model = jnp.sum(
+                jnp.where(inds[..., None], jax.vmap(jax.vmap(jax.vmap(pulse)))(coords[..., 0]), 0.0),
+                axis=2,
+            )
+            return -0.5 * jnp.sum((model - data) ** 2, axis=-1) / sigma_n**2
+
+        prior = ProbDistContainer({0: uniform_dist(0.0, 10.0)})
+        rj = DistributionGenerateRJ(prior, nleaves_min=0, nleaves_max=4)
+
+        ntemps, nwalkers, L = 1, 24, 4
+        rng = np.random.default_rng(0)
+        coords = jnp.asarray(rng.uniform(0, 10, (ntemps, nwalkers, L, 1)))
+        inds = jnp.zeros((ntemps, nwalkers, L), bool).at[..., 0].set(True)
+        betas = jnp.ones((ntemps,))
+        ll = logl_fn(coords, inds)
+        lp = jnp.zeros_like(ll)
+        key = jax.random.PRNGKey(3)
+
+        @jax.jit
+        def step(key, coords, inds, ll, lp):
+            key, k_rj, k_j, k_a = jax.random.split(key, 4)
+            coords, inds, ll, lp, _ = rj.propose(k_rj, coords, inds, ll, lp, betas, logl_fn)
+            # in-model refinement: Gaussian jitter MH on the leaf positions
+            prop = coords + 0.2 * jax.random.normal(k_j, coords.shape)
+            prop = jnp.clip(prop, 0.0, 10.0)
+            ll_prop = logl_fn(prop, inds)
+            acc = jnp.log(jax.random.uniform(k_a, ll.shape)) < betas[:, None] * (ll_prop - ll)
+            coords = jnp.where(acc[..., None, None], prop, coords)
+            ll = jnp.where(acc, ll_prop, ll)
+            return key, coords, inds, ll, lp
+
+        counts = []
+        for i in range(400):
+            key, coords, inds, ll, lp = step(key, coords, inds, ll, lp)
+            if i > 200:
+                counts.append(np.asarray(jnp.sum(inds, axis=-1)).ravel())
+        mean_leaves = np.mean(np.concatenate(counts))
+        assert 1.5 < mean_leaves < 2.8, mean_leaves

@@ -123,3 +123,37 @@ class TestFDvsTD:
         hp, _ = td_gen(*PARS, T=0.02, dt=DT, eps=1e-2)
         peak = np.abs(np.asarray(hp)).max()
         assert 1e-23 < peak < 1e-19
+
+
+class TestPallasKernel:
+    def test_pallas_matches_xla_uniform(self):
+        # interpret-mode pallas dense kernel vs the XLA banded kernel
+        from emri_frequencydomainwaveforms_tpu.models.summation_fd import (
+            fd_mode_sum_uniform,
+            fd_mode_sum_uniform_pallas,
+            prepare_fd_inputs,
+        )
+        from emri_frequencydomainwaveforms_tpu.models.waveform import _sigma
+
+        table = default_mode_table(30)
+        pro = waveform_prologue(
+            1e6, 50.0, 10.0, 0.4, 0.7, 0.5, 1.0, 1.0, 2.0,
+            t_years=0.05, table=table, k_max=16, eps=1e-2,
+        )
+        sig = _sigma(table)
+        ypr, ypi = pro.y_plus
+        ymr, ymi = pro.y_minus
+        inp = prepare_fd_inputs(
+            pro.t_knots, pro.n_live, pro.phi_phi, pro.phi_r,
+            pro.a_re, pro.a_im, table, pro.sel,
+            (sig * ymr, sig * ymi), (ypr, -ypi),
+        )
+        f0, df, nf = 1.7e-3, 2e-8, 20000
+        a = fd_mode_sum_uniform(inp, f0, df, nf, bins_per_run=8, band_runs=2048)
+        b = fd_mode_sum_uniform_pallas(
+            inp, f0, df, nf, bins_per_run=8, band_runs=2048, interpret=True
+        )
+        for x, y in zip(a, b):
+            x, y = np.asarray(x), np.asarray(y)
+            scale = max(np.abs(x).max(), 1e-30)
+            assert np.abs(y - x).max() / scale < 1e-4
