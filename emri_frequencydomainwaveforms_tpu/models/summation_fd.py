@@ -108,8 +108,10 @@ class FDKernelInputs(NamedTuple):
     w1_im: jax.Array
     w2_re: jax.Array
     w2_im: jax.Array
-    mode_live: jax.Array  # (k_max,) selection mask * monotonicity mask
+    mode_live: jax.Array  # (k_max,) selection mask * validity mask
     n_live: jax.Array  # scalar int: live knot count
+    n_eff: jax.Array  # (k_max,) int32: per-mode usable knot count (band
+    # truncated at the first non-monotone segment, e.g. near plunge)
 
 
 def prepare_fd_inputs(
@@ -142,14 +144,23 @@ def prepare_fd_inputs(
     m_sel = jnp.take(m_arr, sel.idx)
     n_sel = jnp.take(n_arr, sel.idx)
 
-    # monotonicity mask per selected mode: f_i strictly increasing on live knots
+    # Per-mode monotonicity handling: rather than discarding a mode whose
+    # frequency evolution turns over anywhere (near plunge the phase-spline
+    # derivative wiggles in the last segments, which would kill EVERY mode
+    # of an exactly-plunging source), truncate each mode's usable band at
+    # its first non-monotone live segment. Harmonics non-monotone from the
+    # start (strong negative-n near plunge) are still masked out.
     k = t_knots.shape[0]
     f_knots_all = m_sel[:, None] * f_phi_knots[None, :] + n_sel[:, None] * f_r_knots[None, :]
     live_seg = (jnp.arange(k - 1) < (n_live - 1))[None, :]
     df = jnp.diff(f_knots_all, axis=1)
-    mono = jnp.all(jnp.where(live_seg, df > 0.0, True), axis=1)
+    bad = (df <= 0.0) & live_seg
+    any_bad = jnp.any(bad, axis=1)
+    first_bad = jnp.argmax(bad, axis=1)  # index of first bad segment
+    n_eff = jnp.where(any_bad, first_bad + 1, n_live).astype(jnp.int32)
     positive = f_knots_all[:, 0] > 0.0
-    mode_live = sel.mask * mono.astype(t_knots.dtype) * positive.astype(t_knots.dtype)
+    enough = n_eff >= 4
+    mode_live = sel.mask * (positive & enough).astype(t_knots.dtype)
 
     return FDKernelInputs(
         t_knots=t_knots,
@@ -167,6 +178,7 @@ def prepare_fd_inputs(
         w2_im=jnp.take(w2[1], sel.idx),
         mode_live=mode_live,
         n_live=n_live,
+        n_eff=n_eff,
     )
 
 
@@ -224,11 +236,10 @@ def fd_mode_sum(
     dx_node = frac_of_node_j * jnp.take(h_all, seg_of_node_j)  # (N_nodes,)
     t_node = jnp.take(t_knots, seg_of_node_j) + dx_node
     node_idx = jnp.arange(n_nodes)
-    node_live = node_idx < (n_live - 1) * s_nodes  # nodes in live segments
 
     def body(carry, mode):
         o1r, o1i, o2r, o2i = carry
-        (cphi_m, ar_ci, ai_ci, f_knots_i, w1r, w1i, w2r, w2i, live_i) = mode
+        (cphi_m, ar_ci, ai_ci, f_knots_i, w1r, w1i, w2r, w2i, live_i, n_eff_i) = mode
 
         # ===== Level 1: per-node closed-form evaluation (f64) =====
         cn = jnp.take(cphi_m, seg_of_node_j, axis=0)  # (N_nodes, 4)
@@ -269,9 +280,9 @@ def fd_mode_sum(
         # left edge of the first padded segment, t = t_end) keeps its true
         # value f_end so the final live interval [last-live-node, f_end]
         # gets genuine Hermite coefficients; later dead nodes get a ramp.
-        f_end = f_knots_i[jnp.maximum(n_live - 1, 0)]
-        live_ext = node_idx <= (n_live - 1) * s_nodes
-        ramp = jnp.maximum(node_idx - (n_live - 1) * s_nodes, 0).astype(f_n.dtype)
+        f_end = f_knots_i[jnp.maximum(n_eff_i - 1, 0)]
+        live_ext = node_idx <= (n_eff_i - 1) * s_nodes
+        ramp = jnp.maximum(node_idx - (n_eff_i - 1) * s_nodes, 0).astype(f_n.dtype)
         f_node_s = jnp.where(live_ext, f_n, f_end) + ramp * jnp.maximum(
             jnp.abs(f_knots_i[-1]), 1.0
         )
@@ -362,6 +373,7 @@ def fd_mode_sum(
             inp.w2_re,
             inp.w2_im,
             inp.mode_live,
+            inp.n_eff,
         ),
     )
     dt_out = f_pos.dtype
@@ -428,16 +440,16 @@ def fd_mode_sum_uniform(
 
     def body(carry, mode):
         o1r, o1i, o2r, o2i = carry
-        (cphi_m, ar_ci, ai_ci, f_knots_i, w1r, w1i, w2r, w2i, live_i, g0_in) = mode
+        (cphi_m, ar_ci, ai_ci, f_knots_i, w1r, w1i, w2r, w2i, live_i, g0_in, n_eff_i) = mode
 
         f_start = f_knots_i[0]
-        f_end = f_knots_i[jnp.maximum(n_live - 1, 0)]
+        f_end = f_knots_i[jnp.maximum(n_eff_i - 1, 0)]
         g0 = jnp.clip(g0_in, 0, g_total)
         f_node = f0 + (g0.astype(f_pos_dtype) + jnp.arange(n_nodes, dtype=f_pos_dtype)) * run_df
 
         # --- segment search: hand-rolled branchless binary search over the
         # live knot frequencies (padded tail is +ramp-monotone) ---
-        ramp = jnp.maximum(jnp.arange(k) - (n_live - 1), 0).astype(f_knots_i.dtype)
+        ramp = jnp.maximum(jnp.arange(k) - (n_eff_i - 1), 0).astype(f_knots_i.dtype)
         f_search = f_knots_i + ramp * jnp.maximum(jnp.abs(f_knots_i[-1]), 1.0)
         lo = jnp.zeros((n_nodes,), jnp.int32)
         hi = jnp.full((n_nodes,), k - 1, jnp.int32)
@@ -447,7 +459,7 @@ def fd_mode_sum_uniform(
             lo = jnp.where(pred, mid, lo)
             hi = jnp.where(pred, hi, mid - 1)
         j = jnp.clip(lo, 0, k - 2)
-        j = jnp.minimum(j, jnp.maximum(n_live - 2, 0))
+        j = jnp.minimum(j, jnp.maximum(n_eff_i - 2, 0))
 
         cj = jnp.take(cphi_m, j, axis=0)  # (n_nodes, 4)
         c0, c1, c2, c3 = cj[..., 0], cj[..., 1], cj[..., 2], cj[..., 3]
@@ -587,6 +599,7 @@ def fd_mode_sum_uniform(
             inp.w2_im,
             inp.mode_live,
             g0_all,
+            inp.n_eff,
         ),
     )
     dt_out = t_knots.dtype
@@ -599,7 +612,7 @@ def fd_mode_sum_uniform(
 
 
 def _uniform_mode_tables(
-    cphi_m, ar_ci, ai_ci, f_knots_i, g0, t_knots, n_live, f0, df, r, n_nodes, run_df
+    cphi_m, ar_ci, ai_ci, f_knots_i, g0, n_eff_i, t_knots, f0, df, r, n_nodes, run_df
 ):
     """Level-1 node evaluation for ONE mode -> per-run coefficient tables.
 
@@ -612,10 +625,10 @@ def _uniform_mode_tables(
     k = t_knots.shape[0]
     dt64 = t_knots.dtype
     f_start = f_knots_i[0]
-    f_end = f_knots_i[jnp.maximum(n_live - 1, 0)]
+    f_end = f_knots_i[jnp.maximum(n_eff_i - 1, 0)]
     f_node = f0 + (g0.astype(dt64) + jnp.arange(n_nodes, dtype=dt64)) * run_df
 
-    ramp = jnp.maximum(jnp.arange(k) - (n_live - 1), 0).astype(f_knots_i.dtype)
+    ramp = jnp.maximum(jnp.arange(k) - (n_eff_i - 1), 0).astype(f_knots_i.dtype)
     f_search = f_knots_i + ramp * jnp.maximum(jnp.abs(f_knots_i[-1]), 1.0)
     lo = jnp.zeros((n_nodes,), jnp.int32)
     hi = jnp.full((n_nodes,), k - 1, jnp.int32)
@@ -625,7 +638,7 @@ def _uniform_mode_tables(
         lo = jnp.where(pred, mid, lo)
         hi = jnp.where(pred, hi, mid - 1)
     j = jnp.clip(lo, 0, k - 2)
-    j = jnp.minimum(j, jnp.maximum(n_live - 2, 0))
+    j = jnp.minimum(j, jnp.maximum(n_eff_i - 2, 0))
 
     cj = jnp.take(cphi_m, j, axis=0)
     c0, c1, c2, c3 = cj[..., 0], cj[..., 1], cj[..., 2], cj[..., 3]
@@ -742,10 +755,10 @@ def fd_mode_sum_uniform_pallas(
     g0_all = jnp.clip((g0_all // 128) * 128, 0, g_total)
 
     pc, ec, fst, fen = jax.vmap(
-        lambda c, ar, ai, fk, g0: _uniform_mode_tables(
-            c, ar, ai, fk, g0, t_knots, inp.n_live, f0, df, r, n_nodes, run_df
+        lambda c, ar, ai, fk, g0, ne: _uniform_mode_tables(
+            c, ar, ai, fk, g0, ne, t_knots, f0, df, r, n_nodes, run_df
         )
-    )(cphi_all, inp.ar_c, inp.ai_c, f_knots_all, g0_all)
+    )(cphi_all, inp.ar_c, inp.ai_c, f_knots_all, g0_all, inp.n_eff)
 
     f32 = jnp.float32
     scalars = jnp.stack(
@@ -820,10 +833,10 @@ def fd_mode_sum_uniform_pallas_batched(
             + inp.n_sel[:, None] * inp.f_r_knots[None, :]
         )
         pc, ec, fst, fen = jax.vmap(
-            lambda c, ar, ai, fk, g0: _uniform_mode_tables(
-                c, ar, ai, fk, g0, inp.t_knots, inp.n_live, f0, df, r, n_nodes, run_df
+            lambda c, ar, ai, fk, g0, ne: _uniform_mode_tables(
+                c, ar, ai, fk, g0, ne, inp.t_knots, f0, df, r, n_nodes, run_df
             )
-        )(cphi_all, inp.ar_c, inp.ai_c, f_knots_all, g0_all)
+        )(cphi_all, inp.ar_c, inp.ai_c, f_knots_all, g0_all, inp.n_eff)
         f32 = jnp.float32
         scalars = jnp.stack(
             [
