@@ -147,3 +147,60 @@ class TestQuadrupoleAmplitudes:
         re, im = mode_amplitudes(ps, es, table)
         assert re.shape == (7, table.num_modes)
         assert np.isfinite(np.asarray(re)).all() and np.isfinite(np.asarray(im)).all()
+
+
+class TestAmplitudeBackends:
+    def test_interp2d_matches_direct(self):
+        from emri_frequencydomainwaveforms_tpu.models.amplitude_backends import (
+            build_amplitude_grid,
+            mode_amplitudes_interp2d,
+        )
+
+        table = default_mode_table(6)
+        grid = build_amplitude_grid(table, n_u=96, n_e=49)
+        ps = jnp.asarray([8.0, 10.0, 12.0])
+        es = jnp.asarray([0.15, 0.3, 0.45])
+        re_g, im_g = mode_amplitudes_interp2d(ps, es, grid)
+        re_d, im_d = mode_amplitudes(ps, es, table)
+        scale = float(jnp.max(jnp.abs(re_d)))
+        np.testing.assert_allclose(np.asarray(re_g), np.asarray(re_d), atol=2e-3 * scale)
+        np.testing.assert_allclose(np.asarray(im_g), np.asarray(im_d), atol=2e-3 * scale)
+
+    def test_roman_network_learns(self):
+        from emri_frequencydomainwaveforms_tpu.models.amplitude_backends import (
+            fit_roman_network,
+            init_roman_network,
+            roman_forward,
+        )
+
+        table = default_mode_table(3)
+        params0 = init_roman_network(table, hidden=(32, 32), seed=0)
+        params = fit_roman_network(params0, n_steps=600, batch=256, seed=2)
+        ps = jnp.asarray([9.0, 11.0])
+        es = jnp.asarray([0.2, 0.4])
+        re_d, im_d = mode_amplitudes(ps, es, table)
+        scale = float(jnp.max(jnp.abs(re_d)))
+
+        def err(pr):
+            re_n, im_n = roman_forward(pr, ps, es)
+            return max(
+                np.abs(np.asarray(re_n) - np.asarray(re_d)).max(),
+                np.abs(np.asarray(im_n) - np.asarray(im_d)).max(),
+            )
+
+        # training reduces the error by a large factor and lands within a
+        # loose bound (production fits run many more steps / larger nets)
+        assert err(params) < 0.25 * err(params0._replace(scale=params.scale))
+        assert err(params) < 0.25 * scale
+
+    def test_backend_facades(self):
+        from emri_frequencydomainwaveforms_tpu.models.amplitude_backends import (
+            Interp2DAmplitude,
+            build_amplitude_grid,
+        )
+
+        table = default_mode_table(3)
+        amp = Interp2DAmplitude(build_amplitude_grid(table, n_u=48, n_e=25))
+        out = amp(np.array([10.0]), np.array([0.3]), specific_modes=[(2, 2, 0), (2, -2, 0)])
+        a, b = out[(2, 2, 0)], out[(2, -2, 0)]
+        np.testing.assert_allclose(b, np.conj(a), rtol=1e-12)
