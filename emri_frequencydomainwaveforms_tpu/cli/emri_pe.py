@@ -103,16 +103,45 @@ def run_emri_pe(args) -> dict:
 
     eps = args.eps
 
-    def template(params14):
-        m, mu, a, p0_, e0_, x0, dist_, qs, fs, qk, fk, pph0, pth0, pr0 = params14
-        pro = waveform_prologue(
-            m, mu, p0_, e0_, qs, fs, dist_, pph0, pr0,
-            t_years=t_years, table=table, k_max=48, eps=eps,
-        )
-        hpr, hpi, hcr, hci = fd_waveform_core(
-            pro, table, f_arr, channels=True, uniform=uniform
-        )
-        return [(hpr, hpi), (hcr, hci)]
+    if args.template == "fd":
+
+        def template(params14):
+            m, mu, a, p0_, e0_, x0, dist_, qs, fs, qk, fk, pph0, pth0, pr0 = params14
+            pro = waveform_prologue(
+                m, mu, p0_, e0_, qs, fs, dist_, pph0, pr0,
+                t_years=t_years, table=table, k_max=48, eps=eps,
+            )
+            hpr, hpi, hcr, hci = fd_waveform_core(
+                pro, table, f_arr, channels=True, uniform=uniform
+            )
+            return [(hpr, hpi), (hcr, hci)]
+
+    else:
+        # TD template: dense time-domain waveform FFT'd on device onto the
+        # downsampled grid (reference -template td via get_fd_waveform_fromTD;
+        # FDutils.py:142-178). The FFT runs in c64 — TPU has no complex128 —
+        # which bounds template phases at ~1e-7 rad, well under the noise.
+        from ..models.waveform import default_time_grid, td_waveform_core
+
+        t_grid = jnp.asarray(default_time_grid(t_years, dt))
+        n_t = t_grid.shape[0]
+        # rfft bin indices matching f_np = freq[freq > 0][::ds]
+        rfft_idx = np.arange(1, (n_t + 1) // 2)[:: max(args.downsample, 1)]
+        rfft_idx_j = jnp.asarray(rfft_idx)
+
+        def template(params14):
+            m, mu, a, p0_, e0_, x0, dist_, qs, fs, qk, fk, pph0, pth0, pr0 = params14
+            pro = waveform_prologue(
+                m, mu, p0_, e0_, qs, fs, dist_, pph0, pr0,
+                t_years=t_years, table=table, k_max=48, eps=eps,
+            )
+            hp, hc = td_waveform_core(pro, table, t_grid)
+            out = []
+            for h in (hp, hc):
+                spec = jnp.fft.rfft(h.astype(jnp.float32)) * jnp.float32(dt)
+                sel = spec[rfft_idx_j]
+                out.append((jnp.real(sel).astype(jnp.float64), jnp.imag(sel).astype(jnp.float64)))
+            return out
 
     # ---- injection ----
     truth = np.array(

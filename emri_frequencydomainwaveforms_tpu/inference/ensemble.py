@@ -96,13 +96,24 @@ class EnsembleSampler:
             per_vec = jnp.asarray(vec)
         self.periodic_vec = per_vec
 
+        # move schedule: a single move, a list of moves (equal weights), or
+        # a list of (move, weight) pairs — one is drawn per iteration
+        # (reference ``ensemble.py:341-474`` weighted move schedule),
+        # lowered to a `lax.switch` inside the jitted step.
         if moves is None:
             moves = StretchMove(periodic=per_vec)
         if isinstance(moves, (list, tuple)):
-            moves = moves[0] if not isinstance(moves[0], tuple) else moves[0][0]
-        if getattr(moves, "periodic", None) is None:
-            moves.periodic = per_vec
-        self.move = moves
+            pairs = [m if isinstance(m, tuple) else (m, 1.0) for m in moves]
+            self.moves = [m for m, _ in pairs]
+            w = np.array([float(wt) for _, wt in pairs])
+            self.move_weights = w / w.sum()
+        else:
+            self.moves = [moves]
+            self.move_weights = np.array([1.0])
+        for m in self.moves:
+            if getattr(m, "periodic", None) is None:
+                m.periodic = per_vec
+        self.move = self.moves[0]
 
         self.backend = backend if backend is not None else Backend()
         if not self.backend.initialized:
@@ -144,10 +155,26 @@ class EnsembleSampler:
             ll = self.log_like_fn(x, *self.args, **self.kwargs)
             return jnp.asarray(ll)
 
-        key, k_move, k_swap = jax.random.split(key, 3)
-        coords, log_like, log_prior, n_acc = self.move.propose(
-            k_move, coords, log_like, log_prior, betas, logp_fn, logl_fn
-        )
+        key, k_move, k_sel, k_swap = jax.random.split(key, 4)
+        if len(self.moves) == 1:
+            coords, log_like, log_prior, n_acc = self.move.propose(
+                k_move, coords, log_like, log_prior, betas, logp_fn, logl_fn
+            )
+        else:
+            branches = [
+                (
+                    lambda args, m=m: m.propose(
+                        args[0], args[1], args[2], args[3], betas, logp_fn, logl_fn
+                    )
+                )
+                for m in self.moves
+            ]
+            idx = jax.random.choice(
+                k_sel, len(self.moves), p=jnp.asarray(self.move_weights)
+            )
+            coords, log_like, log_prior, n_acc = jax.lax.switch(
+                idx, branches, (k_move, coords, log_like, log_prior)
+            )
         tc = self.temperature_control
         if self.ntemps > 1:
             coords, log_like, log_prior, swap_frac = tc.temperature_swaps(

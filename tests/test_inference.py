@@ -230,3 +230,18 @@ class TestReversibleJump:
                 counts.append(np.asarray(jnp.sum(inds, axis=-1)).ravel())
         mean_leaves = np.mean(np.concatenate(counts))
         assert 1.5 < mean_leaves < 2.8, mean_leaves
+
+
+class TestMoveSchedule:
+    def test_weighted_move_mixture(self):
+        from emri_frequencydomainwaveforms_tpu.inference.moves.gaussian import GaussianMove
+
+        priors = {i: uniform_dist(-10, 10) for i in range(NDIM)}
+        sampler = EnsembleSampler(
+            32, [NDIM], log_like_gauss, {"model_0": ProbDistContainer(priors)},
+            moves=[(StretchMove(a=2.0), 0.7), (GaussianMove(0.05), 0.3)], seed=9,
+        )
+        start = np.random.default_rng(3).normal(np.asarray(MEANS), SIGMA, (1, 32, NDIM))
+        sampler.run_mcmc(jnp.asarray(start), 300, burn=50)
+        flat = sampler.get_chain(discard=100)["model_0"][:, 0, :, 0, :].reshape(-1, NDIM)
+        np.testing.assert_allclose(flat.mean(axis=0), np.asarray(MEANS), atol=0.2)
