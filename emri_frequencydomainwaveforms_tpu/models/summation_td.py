@@ -115,4 +115,43 @@ def td_mode_sum(
     return hp.astype(t_grid.dtype), hc.astype(t_grid.dtype)
 
 
-__all__ = ["td_mode_sum"]
+__all__ = ["td_mode_sum", "direct_mode_sum", "DirectModeSum"]
+
+
+def direct_mode_sum(
+    t_knots,
+    phi_phi_knots,
+    phi_r_knots,
+    a_re_knots,
+    a_im_knots,
+    table,
+    sel,
+    y_plus,
+    y_minus,
+    n_live,
+):
+    """Brute-force mode sum AT the trajectory knots (validation tool).
+
+    Reference ``few.summation.directmodesum.DirectModeSum`` parity (notebook
+    cell 2): no interpolation — the waveform evaluated exactly at the sparse
+    trajectory samples. Returns (h_plus, h_cross) of knot length (padded
+    region carries the frozen final value; mask with ``n_live``).
+    """
+    t_end = t_knots[jnp.maximum(n_live - 1, 0)]
+    return td_mode_sum(
+        t_knots, phi_phi_knots, phi_r_knots, a_re_knots, a_im_knots,
+        table, sel, y_plus, y_minus, t_knots, t_end,
+    )
+
+
+class DirectModeSum:
+    """OO facade for the reference's direct summation module."""
+
+    def __init__(self, **kwargs):
+        del kwargs
+
+    def __call__(self, pro, table):
+        return direct_mode_sum(
+            pro.t_knots, pro.phi_phi, pro.phi_r, pro.a_re, pro.a_im,
+            table, pro.sel, pro.y_plus, pro.y_minus, pro.n_live,
+        )
