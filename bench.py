@@ -36,7 +36,9 @@ def main() -> None:
     uniform = (float(f_np[0]), float(f_np[1] - f_np[0]))
 
     batch = 32
-    band_runs = 1024
+    # 512 runs cover this config's widest mode band + margins
+    # (checksum-identical to full-grid windows; sweep in round-1 notes)
+    band_runs = 512
 
     # frozen mode selection + shared band windows, computed once from a
     # representative source: keeps per-lane work identical so the banded
