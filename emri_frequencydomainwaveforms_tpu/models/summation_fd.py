@@ -426,8 +426,6 @@ def fd_mode_sum_uniform(
     Returns (o1_re, o1_im, o2_re, o2_im), each (nf,), f64.
     """
     t_knots = inp.t_knots
-    k = t_knots.shape[0]
-    n_live = inp.n_live
     f32 = jnp.float32
     r = bins_per_run
     g_total = -(-nf // r)  # runs covering the grid
@@ -436,120 +434,50 @@ def fd_mode_sum_uniform(
     pad_len = (g_total + g_band) * r  # accumulation space incl. window slack
 
     run_df = r * df
-    kidx_pow = int(np.ceil(np.log2(k)))
+    f_pos_dtype = t_knots.dtype
+
+    cphi_all = (
+        inp.m_sel[:, None, None] * inp.c_phi_phi[None]
+        + inp.n_sel[:, None, None] * inp.c_phi_r[None]
+    )
+    f_knots_all = (
+        inp.m_sel[:, None] * inp.f_phi_knots[None, :] + inp.n_sel[:, None] * inp.f_r_knots[None, :]
+    )
+    if band_offsets is None:
+        g0_all = jnp.floor((f_knots_all[:, 0] - f0) / run_df).astype(jnp.int32)
+    else:
+        g0_all = jnp.asarray(band_offsets, jnp.int32)
+    g0_all = jnp.clip(g0_all, 0, g_total)
+
+    # level 1 for all modes at once (one-hot MXU selection, no gathers)
+    pc, ec, f_start_all, f_end_all = _level1_uniform_tables(
+        cphi_all, inp.ar_c, inp.ai_c, f_knots_all, g0_all, inp.n_eff,
+        t_knots, f0, df, r, n_nodes, run_df,
+    )
 
     def body(carry, mode):
         o1r, o1i, o2r, o2i = carry
-        (cphi_m, ar_ci, ai_ci, f_knots_i, w1r, w1i, w2r, w2i, live_i, g0_in, n_eff_i) = mode
-
-        f_start = f_knots_i[0]
-        f_end = f_knots_i[jnp.maximum(n_eff_i - 1, 0)]
-        g0 = jnp.clip(g0_in, 0, g_total)
-        f_node = f0 + (g0.astype(f_pos_dtype) + jnp.arange(n_nodes, dtype=f_pos_dtype)) * run_df
-
-        # --- segment search: hand-rolled branchless binary search over the
-        # live knot frequencies (padded tail is +ramp-monotone) ---
-        ramp = jnp.maximum(jnp.arange(k) - (n_eff_i - 1), 0).astype(f_knots_i.dtype)
-        f_search = f_knots_i + ramp * jnp.maximum(jnp.abs(f_knots_i[-1]), 1.0)
-        lo = jnp.zeros((n_nodes,), jnp.int32)
-        hi = jnp.full((n_nodes,), k - 1, jnp.int32)
-        for _ in range(kidx_pow):
-            mid = (lo + hi + 1) // 2
-            pred = jnp.take(f_search, mid) <= f_node
-            lo = jnp.where(pred, mid, lo)
-            hi = jnp.where(pred, hi, mid - 1)
-        j = jnp.clip(lo, 0, k - 2)
-        j = jnp.minimum(j, jnp.maximum(n_eff_i - 2, 0))
-
-        cj = jnp.take(cphi_m, j, axis=0)  # (n_nodes, 4)
-        c0, c1, c2, c3 = cj[..., 0], cj[..., 1], cj[..., 2], cj[..., 3]
-        t_lo = jnp.take(t_knots, j)
-        h_seg = jnp.take(t_knots, j + 1) - t_lo
-        f_lo = jnp.take(f_knots_i, j)
-        f_hi = jnp.take(f_knots_i, j + 1)
-
-        # --- Newton for dx: Phi'(dx) = 2 pi f_node (quadratic; 3 steps).
-        # Nodes just outside the band (the first node sits <= f_start, the
-        # last run's right node can sit > f_end) EXTRAPOLATE the edge
-        # segment's phase cubic mildly instead of clamping to the segment:
-        # clamped nodes would mislabel the edge Hermite intervals (values at
-        # t_end tagged with a frequency above f_end), corrupting the last
-        # in-band bins. Out-of-band bins themselves are masked. ---
-        y = _TWO_PI * f_node
-        denom = jnp.where(jnp.abs(f_hi - f_lo) > 0, f_hi - f_lo, 1.0)
-        dx = jnp.clip((f_node - f_lo) / denom, -0.5, 1.5) * h_seg
-        for _ in range(3):
-            fp = c1 + dx * (2.0 * c2 + 3.0 * c3 * dx) - y
-            fpp = 2.0 * c2 + 6.0 * c3 * dx
-            fpp = jnp.where(jnp.abs(fpp) > 1e-300, fpp, 1e-300)
-            dx = jnp.clip(dx - fp / fpp, -0.5 * h_seg, 1.5 * h_seg)
-        t_star = t_lo + dx
-
-        phi = c0 + dx * (c1 + dx * (c2 + dx * c3))
-        psi = phi - y * t_star
-        # envelope quantities use the IN-segment point: the extrapolated
-        # quadratic Phi' can peak just past the band (fdot -> 0 blows up
-        # 1/sqrt(fdot)); the O(run_df) envelope offset at the <=R edge bins
-        # is benign while the phase must stay extrapolation-consistent.
-        dx_env = jnp.clip(dx, 0.0, h_seg)
-        fdot = jnp.maximum((2.0 * c2 + 6.0 * c3 * dx_env) / _TWO_PI, 1e-300)
-        fddot = (6.0 * c3) / _TWO_PI
-
-        # envelope at nodes (f32, overflow-free SPA form)
-        dx32 = dx_env.astype(f32)
-        arj = jnp.take(ar_ci, j, axis=0).astype(f32)
-        aij = jnp.take(ai_ci, j, axis=0).astype(f32)
-        a_re = arj[..., 0] + dx32 * (arj[..., 1] + dx32 * (arj[..., 2] + dx32 * arj[..., 3]))
-        a_im = aij[..., 0] + dx32 * (aij[..., 1] + dx32 * (aij[..., 2] + dx32 * aij[..., 3]))
-        w_arg = -_TWO_PI * fdot**3 / (3.0 * jnp.maximum(fddot * fddot, 1e-300))
-        w32 = jnp.clip(w_arg, -1e12, -1e-6).astype(f32)
-        k_re, k_im = kve_one_third_imag(w32)
-        corr = jnp.sqrt(2.0 * jnp.abs(w32) * f32(1.0 / math.pi))
-        inv_sq = jax.lax.rsqrt(jnp.maximum(fdot.astype(f32), f32(1e-37)))
-        cr_f = k_re * corr * inv_sq
-        ci_f = k_im * corr * inv_sq
-        e_re = a_re * cr_f + a_im * ci_f
-        e_im = a_re * ci_f - a_im * cr_f
-
-        # --- per-run coefficients (intervals g -> g+1), f64 -> f32 ---
-        psi_lo, psi_hi = psi[:-1], psi[1:]
-        d_lo = -_TWO_PI * t_star[:-1] * run_df  # dPsi/dxi at left node
-        d_hi = -_TWO_PI * t_star[1:] * run_df
-        dpsi = psi_hi - psi_lo
-        p0 = (psi_lo - _TWO_PI * jnp.round(psi_lo * (1.0 / _TWO_PI))).astype(f32)
-        p1 = d_lo.astype(f32)
-        p2 = (3.0 * dpsi - 2.0 * d_lo - d_hi).astype(f32)
-        p3 = (-2.0 * dpsi + d_lo + d_hi).astype(f32)
-
-        # Catmull-Rom envelope: cubic from values at g-1, g, g+1, g+2
-        def cr_coeffs(v):
-            vm = jnp.concatenate([v[:1], v[:-1]])[:-1]  # v_{g-1}
-            v0 = v[:-1]
-            v1 = v[1:]
-            vp = jnp.concatenate([v[1:], v[-1:]])[1:]  # v_{g+2}
-            s0 = 0.5 * (v1 - vm)
-            s1 = 0.5 * (vp - v0)
-            return (
-                v0,
-                s0,
-                3.0 * (v1 - v0) - 2.0 * s0 - s1,
-                -2.0 * (v1 - v0) + s0 + s1,
-            )
-
-        er0, er1, er2, er3 = cr_coeffs(e_re)
-        ei0, ei1, ei2, ei3 = cr_coeffs(e_im)
+        (pc_i, ec_i, f_start, f_end, w1r, w1i, w2r, w2i, live_i, g0) = mode
 
         # --- gather-free dense pass over the (g_band, r) workspace ---
         xi = ((jnp.arange(r, dtype=f32)) * f32(1.0 / r))[None, :]  # (1, r)
-        psi_d = p0[:, None] + xi * (p1[:, None] + xi * (p2[:, None] + xi * p3[:, None]))
+        p0, p1, p2, p3 = pc_i[:, 0:1], pc_i[:, 1:2], pc_i[:, 2:3], pc_i[:, 3:4]
+        psi_d = p0 + xi * (p1 + xi * (p2 + xi * p3))
         c_psi = jnp.cos(psi_d)
         s_psi = jnp.sin(psi_d)
-        er_d = er0[:, None] + xi * (er1[:, None] + xi * (er2[:, None] + xi * er3[:, None]))
-        ei_d = ei0[:, None] + xi * (ei1[:, None] + xi * (ei2[:, None] + xi * ei3[:, None]))
+        er0, er1, er2, er3 = ec_i[:, 0:1], ec_i[:, 1:2], ec_i[:, 2:3], ec_i[:, 3:4]
+        ei0, ei1, ei2, ei3 = ec_i[:, 4:5], ec_i[:, 5:6], ec_i[:, 6:7], ec_i[:, 7:8]
+        er_d = er0 + xi * (er1 + xi * (er2 + xi * er3))
+        ei_d = ei0 + xi * (ei1 + xi * (ei2 + xi * ei3))
         c_re = er_d * c_psi - ei_d * s_psi
         c_im = er_d * s_psi + ei_d * c_psi
 
-        f_bins = f_node[:-1, None] + (jnp.arange(r, dtype=f_pos_dtype) * df)[None, :]
+        f_node0 = f0 + g0.astype(f_pos_dtype) * run_df
+        f_bins = (
+            f_node0
+            + jnp.arange(g_band, dtype=f_pos_dtype)[:, None] * run_df
+            + (jnp.arange(r, dtype=f_pos_dtype) * df)[None, :]
+        )
         keep = (f_bins >= f_start) & (f_bins <= f_end) & (live_i > 0)
         # where-mask (not multiply): masked lanes can hold NaN/inf from
         # extrapolated or non-monotone (masked-out) modes, and 0 * NaN = NaN
@@ -572,34 +500,21 @@ def fd_mode_sum_uniform(
 
         return (rmw(o1r, v1r), rmw(o1i, v1i), rmw(o2r, v2r), rmw(o2i, v2i)), None
 
-    f_pos_dtype = t_knots.dtype
     zero = jnp.zeros((pad_len,), f32)
-    cphi_all = (
-        inp.m_sel[:, None, None] * inp.c_phi_phi[None]
-        + inp.n_sel[:, None, None] * inp.c_phi_r[None]
-    )
-    f_knots_all = (
-        inp.m_sel[:, None] * inp.f_phi_knots[None, :] + inp.n_sel[:, None] * inp.f_r_knots[None, :]
-    )
-    if band_offsets is None:
-        g0_all = jnp.floor((f_knots_all[:, 0] - f0) / run_df).astype(jnp.int32)
-    else:
-        g0_all = jnp.asarray(band_offsets, jnp.int32)
     (o1r, o1i, o2r, o2i), _ = jax.lax.scan(
         body,
         (zero, zero, zero, zero),
         (
-            cphi_all,
-            inp.ar_c,
-            inp.ai_c,
-            f_knots_all,
+            pc,
+            ec,
+            f_start_all,
+            f_end_all,
             inp.w1_re,
             inp.w1_im,
             inp.w2_re,
             inp.w2_im,
             inp.mode_live,
             g0_all,
-            inp.n_eff,
         ),
     )
     dt_out = t_knots.dtype
@@ -611,42 +526,120 @@ def fd_mode_sum_uniform(
     )
 
 
-def _uniform_mode_tables(
-    cphi_m, ar_ci, ai_ci, f_knots_i, g0, n_eff_i, t_knots, f0, df, r, n_nodes, run_df
-):
-    """Level-1 node evaluation for ONE mode -> per-run coefficient tables.
+def _split_hi_lo(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """f64 -> exact (hi, lo) f32 pair with x == hi + lo in f64."""
+    hi = x.astype(jnp.float32)
+    lo = (x - hi.astype(x.dtype)).astype(jnp.float32)
+    return hi, lo
 
-    Same math as the scan body of `fd_mode_sum_uniform` (f64 phase path,
-    f32 envelope with the Bessel correction), returning the f32 tables the
-    Pallas dense kernel consumes: phase Hermite (G, 4), envelope Catmull-Rom
-    (G, 8), and the f32 band limits.
+
+def _level1_uniform_tables(
+    cphi_all,  # (Mk, K-1, 4) f64 per-mode phase spline coeffs
+    ar_all,  # (Mk, K-1, 4) f64 amplitude-re spline coeffs
+    ai_all,
+    f_knots_all,  # (Mk, K) f64 knot frequencies
+    g0_all,  # (Mk,) int32 window-start runs
+    n_eff,  # (Mk,) int32 usable knot counts
+    t_knots,  # (K,) f64
+    f0: float,
+    df: float,
+    r: int,
+    n_nodes: int,
+    run_df: float,
+):
+    """Gather-free level-1 node evaluation for ALL modes at once.
+
+    The TPU-shaped replacement for per-node binary search + table gathers
+    (measured ~210 ns/node on v5e — the round-1 bottleneck): because the
+    node grid is UNIFORM in f and the live knot frequencies are sorted, the
+    node->segment assignment is a monotone counting problem. We build the
+    (node, boundary) compare matrix, difference it into an exact one-hot
+    selector, and fetch every per-segment quantity with ONE MXU matmul
+    (~4 ns/node measured). f64 phase inputs ride the matmul as exact
+    (hi, lo) f32 pairs: the selector rows are exactly one 1.0 and the MXU
+    accumulates in f32, so selection is bit-exact and hi + lo reconstructs
+    the f64 coefficient to double-float precision (all this device's
+    emulated f64 carries anyway).
+
+    Returns per-run f32 tables for the dense pass: phase Hermite pc
+    (Mk, G, 4), envelope Catmull-Rom ec (Mk, G, 8), band limits f_start /
+    f_end (Mk,) in BOTH f64 and f32.
     """
     f32 = jnp.float32
     k = t_knots.shape[0]
+    mk = cphi_all.shape[0]
     dt64 = t_knots.dtype
-    f_start = f_knots_i[0]
-    f_end = f_knots_i[jnp.maximum(n_eff_i - 1, 0)]
-    f_node = f0 + (g0.astype(dt64) + jnp.arange(n_nodes, dtype=dt64)) * run_df
 
-    ramp = jnp.maximum(jnp.arange(k) - (n_eff_i - 1), 0).astype(f_knots_i.dtype)
-    f_search = f_knots_i + ramp * jnp.maximum(jnp.abs(f_knots_i[-1]), 1.0)
-    lo = jnp.zeros((n_nodes,), jnp.int32)
-    hi = jnp.full((n_nodes,), k - 1, jnp.int32)
-    for _ in range(int(np.ceil(np.log2(k)))):
-        mid = (lo + hi + 1) // 2
-        pred = jnp.take(f_search, mid) <= f_node
-        lo = jnp.where(pred, mid, lo)
-        hi = jnp.where(pred, hi, mid - 1)
-    j = jnp.clip(lo, 0, k - 2)
-    j = jnp.minimum(j, jnp.maximum(n_eff_i - 2, 0))
+    f_start = f_knots_all[:, 0]
+    f_end = jnp.take_along_axis(
+        f_knots_all, jnp.maximum(n_eff - 1, 0)[:, None].astype(jnp.int32), axis=1
+    )[:, 0]
+    f_node = (
+        f0
+        + (g0_all.astype(dt64)[:, None] + jnp.arange(n_nodes, dtype=dt64)[None, :]) * run_df
+    )  # (Mk, n_nodes)
 
-    cj = jnp.take(cphi_m, j, axis=0)
-    c0, c1, c2, c3 = cj[..., 0], cj[..., 1], cj[..., 2], cj[..., 3]
-    t_lo = jnp.take(t_knots, j)
-    h_seg = jnp.take(t_knots, j + 1) - t_lo
-    f_lo = jnp.take(f_knots_i, j)
-    f_hi = jnp.take(f_knots_i, j + 1)
+    # --- segment assignment: one-hot from the monotone compare matrix ---
+    # interior boundaries b_k = f_knots[k], k = 1..K-2, masked to a huge
+    # increasing ramp beyond the live band so j = min(count, n_eff - 2);
+    # NaN boundaries (dead modes) compare false -> segment 0 -> masked later
+    kk = jnp.arange(1, k - 1)
+    bnd = jnp.where(
+        kk[None, :] <= (n_eff[:, None] - 2),
+        f_knots_all[:, 1 : k - 1],
+        1e30 * (1.0 + kk[None, :].astype(dt64)),
+    )  # (Mk, K-2)
+    a_cmp = (bnd[:, None, :] <= f_node[:, :, None]).astype(f32)  # (Mk, N, K-2)
+    ones = jnp.ones((mk, n_nodes, 1), f32)
+    zeros = jnp.zeros((mk, n_nodes, 1), f32)
+    a_ext = jnp.concatenate([ones, a_cmp, zeros], axis=-1)  # (Mk, N, K)
+    onehot = a_ext[..., :-1] - a_ext[..., 1:]  # (Mk, N, K-1) exact {0,1}
 
+    # --- packed per-segment table: f64 pairs + f32 tail ---
+    c_hi, c_lo = _split_hi_lo(cphi_all)  # (Mk, K-1, 4) each
+    t_lo64 = t_knots[:-1]
+    tl_hi, tl_lo = _split_hi_lo(t_lo64)  # (K-1,)
+    h_seg32 = jnp.diff(t_knots).astype(f32)
+    shared = jnp.broadcast_to(
+        jnp.stack([tl_hi, tl_lo, h_seg32], axis=-1)[None], (mk, k - 1, 3)
+    )
+    f_lo32 = f_knots_all[:, :-1].astype(f32)
+    f_hi32 = f_knots_all[:, 1:].astype(f32)
+    tab = jnp.concatenate(
+        [
+            c_hi,  # 0:4
+            c_lo,  # 4:8
+            shared,  # 8:11  t_lo_hi, t_lo_lo, h_seg
+            f_lo32[..., None],  # 11
+            f_hi32[..., None],  # 12
+            ar_all.astype(f32),  # 13:17
+            ai_all.astype(f32),  # 17:21
+        ],
+        axis=-1,
+    )  # (Mk, K-1, 21)
+    g = jax.lax.dot_general(
+        onehot,
+        tab,
+        (((2,), (1,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (Mk, N, 21)
+
+    c0 = g[..., 0].astype(dt64) + g[..., 4].astype(dt64)
+    c1 = g[..., 1].astype(dt64) + g[..., 5].astype(dt64)
+    c2 = g[..., 2].astype(dt64) + g[..., 6].astype(dt64)
+    c3 = g[..., 3].astype(dt64) + g[..., 7].astype(dt64)
+    t_lo = g[..., 8].astype(dt64) + g[..., 9].astype(dt64)
+    h_seg = g[..., 10].astype(dt64)
+    f_lo = g[..., 11].astype(dt64)
+    f_hi = g[..., 12].astype(dt64)
+
+    # --- Newton for dx: Phi'(dx) = 2 pi f_node (quadratic; 3 steps).
+    # Nodes just outside the band (the first node sits <= f_start, the
+    # last run's right node can sit > f_end) EXTRAPOLATE the edge
+    # segment's phase cubic mildly instead of clamping to the segment:
+    # clamped nodes would mislabel the edge Hermite intervals (values at
+    # t_end tagged with a frequency above f_end), corrupting the last
+    # in-band bins. Out-of-band bins themselves are masked. ---
     y = _TWO_PI * f_node
     denom = jnp.where(jnp.abs(f_hi - f_lo) > 0, f_hi - f_lo, 1.0)
     dx = jnp.clip((f_node - f_lo) / denom, -0.5, 1.5) * h_seg
@@ -659,15 +652,17 @@ def _uniform_mode_tables(
 
     phi = c0 + dx * (c1 + dx * (c2 + dx * c3))
     psi = phi - y * t_star
+    # envelope quantities use the IN-segment point: the extrapolated
+    # quadratic Phi' can peak just past the band (fdot -> 0 blows up
+    # 1/sqrt(fdot)); the O(run_df) envelope offset at the <=R edge bins
+    # is benign while the phase must stay extrapolation-consistent.
     dx_env = jnp.clip(dx, 0.0, h_seg)
     fdot = jnp.maximum((2.0 * c2 + 6.0 * c3 * dx_env) / _TWO_PI, 1e-300)
     fddot = (6.0 * c3) / _TWO_PI
 
     dx32 = dx_env.astype(f32)
-    arj = jnp.take(ar_ci, j, axis=0).astype(f32)
-    aij = jnp.take(ai_ci, j, axis=0).astype(f32)
-    a_re = arj[..., 0] + dx32 * (arj[..., 1] + dx32 * (arj[..., 2] + dx32 * arj[..., 3]))
-    a_im = aij[..., 0] + dx32 * (aij[..., 1] + dx32 * (aij[..., 2] + dx32 * aij[..., 3]))
+    a_re = g[..., 13] + dx32 * (g[..., 14] + dx32 * (g[..., 15] + dx32 * g[..., 16]))
+    a_im = g[..., 17] + dx32 * (g[..., 18] + dx32 * (g[..., 19] + dx32 * g[..., 20]))
     w_arg = -_TWO_PI * fdot**3 / (3.0 * jnp.maximum(fddot * fddot, 1e-300))
     w32 = jnp.clip(w_arg, -1e12, -1e-6).astype(f32)
     k_re, k_im = kve_one_third_imag(w32)
@@ -678,20 +673,22 @@ def _uniform_mode_tables(
     e_re = a_re * cr_f + a_im * ci_f
     e_im = a_re * ci_f - a_im * cr_f
 
-    psi_lo, psi_hi = psi[:-1], psi[1:]
-    d_lo = -_TWO_PI * t_star[:-1] * run_df
-    d_hi = -_TWO_PI * t_star[1:] * run_df
+    # --- per-run coefficients (intervals g -> g+1), f64 -> f32 ---
+    psi_lo, psi_hi = psi[:, :-1], psi[:, 1:]
+    d_lo = -_TWO_PI * t_star[:, :-1] * run_df  # dPsi/dxi at left node
+    d_hi = -_TWO_PI * t_star[:, 1:] * run_df
     dpsi = psi_hi - psi_lo
     p0c = (psi_lo - _TWO_PI * jnp.round(psi_lo * (1.0 / _TWO_PI))).astype(f32)
     p1c = d_lo.astype(f32)
     p2c = (3.0 * dpsi - 2.0 * d_lo - d_hi).astype(f32)
     p3c = (-2.0 * dpsi + d_lo + d_hi).astype(f32)
 
+    # Catmull-Rom envelope: cubic from values at g-1, g, g+1, g+2
     def cr_coeffs(v):
-        vm = jnp.concatenate([v[:1], v[:-1]])[:-1]
-        v0 = v[:-1]
-        v1 = v[1:]
-        vp = jnp.concatenate([v[1:], v[-1:]])[1:]
+        vm = jnp.concatenate([v[:, :1], v[:, :-1]], axis=1)[:, :-1]
+        v0 = v[:, :-1]
+        v1 = v[:, 1:]
+        vp = jnp.concatenate([v[:, 1:], v[:, -1:]], axis=1)[:, 1:]
         s0 = 0.5 * (v1 - vm)
         s1 = 0.5 * (vp - v0)
         return v0, s0, 3.0 * (v1 - v0) - 2.0 * s0 - s1, -2.0 * (v1 - v0) + s0 + s1
@@ -699,13 +696,13 @@ def _uniform_mode_tables(
     er0, er1, er2, er3 = cr_coeffs(e_re)
     ei0, ei1, ei2, ei3 = cr_coeffs(e_im)
 
-    pc = jnp.stack([p0c, p1c, p2c, p3c], axis=-1)  # (G, 4)
-    ec = jnp.stack([er0, er1, er2, er3, ei0, ei1, ei2, ei3], axis=-1)  # (G, 8)
+    pc = jnp.stack([p0c, p1c, p2c, p3c], axis=-1)  # (Mk, G, 4)
+    ec = jnp.stack([er0, er1, er2, er3, ei0, ei1, ei2, ei3], axis=-1)  # (Mk, G, 8)
     # sanitize: masked/garbage modes can carry NaN through the tables; the
     # dense kernel's keep-mask can't null NaN*0, so null them here
     pc = jnp.where(jnp.isfinite(pc), pc, 0.0)
     ec = jnp.where(jnp.isfinite(ec), ec, 0.0)
-    return pc, ec, f_start.astype(f32), f_end.astype(f32)
+    return pc, ec, f_start, f_end
 
 
 def fd_mode_sum_uniform_pallas(
@@ -754,13 +751,12 @@ def fd_mode_sum_uniform_pallas(
     # band_runs must include >=128 runs of slack above the band width)
     g0_all = jnp.clip((g0_all // 128) * 128, 0, g_total)
 
-    pc, ec, fst, fen = jax.vmap(
-        lambda c, ar, ai, fk, g0, ne: _uniform_mode_tables(
-            c, ar, ai, fk, g0, ne, t_knots, f0, df, r, n_nodes, run_df
-        )
-    )(cphi_all, inp.ar_c, inp.ai_c, f_knots_all, g0_all, inp.n_eff)
-
+    pc, ec, fst64, fen64 = _level1_uniform_tables(
+        cphi_all, inp.ar_c, inp.ai_c, f_knots_all, g0_all, inp.n_eff,
+        t_knots, f0, df, r, n_nodes, run_df,
+    )
     f32 = jnp.float32
+    fst, fen = fst64.astype(f32), fen64.astype(f32)
     scalars = jnp.stack(
         [
             fst,
@@ -832,12 +828,12 @@ def fd_mode_sum_uniform_pallas_batched(
             inp.m_sel[:, None] * inp.f_phi_knots[None, :]
             + inp.n_sel[:, None] * inp.f_r_knots[None, :]
         )
-        pc, ec, fst, fen = jax.vmap(
-            lambda c, ar, ai, fk, g0, ne: _uniform_mode_tables(
-                c, ar, ai, fk, g0, ne, inp.t_knots, f0, df, r, n_nodes, run_df
-            )
-        )(cphi_all, inp.ar_c, inp.ai_c, f_knots_all, g0_all, inp.n_eff)
+        pc, ec, fst64, fen64 = _level1_uniform_tables(
+            cphi_all, inp.ar_c, inp.ai_c, f_knots_all, g0_all, inp.n_eff,
+            inp.t_knots, f0, df, r, n_nodes, run_df,
+        )
         f32 = jnp.float32
+        fst, fen = fst64.astype(f32), fen64.astype(f32)
         scalars = jnp.stack(
             [
                 fst,
