@@ -2,10 +2,22 @@
 
 The driver runs this on real TPU hardware and records the single JSON line.
 Configuration matches BASELINE.json: full default frequency grid of a 1-yr
-signal at dt=10 s (1.58M positive bins), all-mode generation at eps=1e-2,
-batched to amortize dispatch (the production likelihood shape is batched
-walkers). ``vs_baseline`` is measured against the BASELINE.json north-star
-of 1000 waveforms/sec/chip.
+signal at dt=10 s (1.58M positive bins), all-mode generation at eps=1e-2.
+
+Production-shaped methodology (round-2 honesty fixes):
+* a POSTERIOR-WIDE walker batch (p0/e0/angles jittered ~0.5-5%), each lane
+  running its own eps mode selection (slots ordered by band-start frequency
+  so the shared band windows stay valid across the batch);
+* per-batch shared band-window offsets via `band_offsets_for` (the margins
+  absorb the batch's band drift) — exactly the production likelihood setup;
+* timing via in-graph repetition (`lax.fori_loop` with per-rep parameter
+  perturbation) reduced to one scalar: this environment's host round-trip
+  costs ~32 ms, which would otherwise dominate;
+* ACCURACY GATES run before timing and zero the score on failure:
+  (1) the banded kernel agrees with the independent general sorted-grid
+      kernel on a bin subset, and
+  (2) the FD/TD Hann-windowed mismatch at the FULL 1-yr configuration is
+      under the 1e-4 BASELINE gate (both polarization channels).
 """
 
 import json
@@ -14,6 +26,22 @@ import time
 
 import numpy as np
 
+T_YEARS, DT = 1.0, 10.0
+EPS = 1e-2
+K_MAX = 64
+MAX_STEPS = 192  # 1-yr trajectories use ~135 adaptive knots
+BATCH = 64
+REPS = 4
+BAND_RUNS = 512
+BINS_PER_RUN = 64
+NORTH_STAR = 1000.0  # waveforms/s/chip (BASELINE.md)
+
+
+def _mismatch(a, b):
+    num = np.abs(np.vdot(a, b))
+    den = np.sqrt(np.vdot(a, a).real * np.vdot(b, b).real)
+    return float(1.0 - num / den)
+
 
 def main() -> None:
     import emri_frequencydomainwaveforms_tpu  # noqa: F401  (x64 config)
@@ -21,76 +49,126 @@ def main() -> None:
     import jax.numpy as jnp
     from emri_frequencydomainwaveforms_tpu.models.amplitude import default_mode_table
     from emri_frequencydomainwaveforms_tpu.models.waveform import (
+        _assemble_channels,
+        band_offsets_for,
         default_frequencies,
+        default_time_grid,
         fd_waveform_core,
+        td_waveform_core,
         waveform_prologue,
     )
-
-    from emri_frequencydomainwaveforms_tpu.models.waveform import band_offsets_for
+    from emri_frequencydomainwaveforms_tpu.utils.fdutils import (
+        get_fd_windowed,
+        get_fft_td_windowed,
+    )
 
     table = default_mode_table(30)
-    t_years, dt = 1.0, 10.0
-    freq = default_frequencies(t_years, dt)
+    freq = default_frequencies(T_YEARS, DT)
     f_np = freq[freq > 0]
+    nf = len(f_np)
     f_arr = jnp.asarray(f_np)
-    uniform = (float(f_np[0]), float(f_np[1] - f_np[0]))
+    f0u, dfu = float(f_np[0]), float(f_np[1] - f_np[0])
+    uniform = (f0u, dfu)
 
-    batch = 32
-    # 512 runs cover this config's widest mode band + margins
-    # (checksum-identical to full-grid windows; sweep in round-1 notes)
-    band_runs = 512
-
-    # frozen mode selection + shared band windows, computed once from a
-    # representative source: keeps per-lane work identical so the banded
-    # kernel's window accumulation stays a dynamic slice under vmap
-    # (per-lane offsets would lower to scatter).
-    pro0 = waveform_prologue(
-        1e6, 10.0, 12.0, 0.35, 0.7, 0.5, 1.0, 0.0, 0.0,
-        t_years=t_years, table=table, k_max=64, eps=1e-2,
-    )
-    forced_idx = np.asarray(pro0.sel.idx)
-    offsets = band_offsets_for(pro0, table, uniform[0], uniform[1], 64, band_runs)
-    offsets_j = jnp.asarray(offsets)
-
-    def gen(p0, e0):
-        pro = waveform_prologue(
-            1e6, 10.0, p0, e0, 0.7, 0.5, 1.0, 0.0, 0.0,
-            t_years=t_years, table=table, k_max=64, eps=1e-2,
-            forced_idx=forced_idx,
+    def prologue(p0, e0, th, ph):
+        return waveform_prologue(
+            1e6, 10.0, p0, e0, th, ph, 1.0, 0.0, 0.0,
+            t_years=T_YEARS, table=table, k_max=K_MAX, eps=EPS,
+            max_steps=MAX_STEPS,
         )
+
+    # shared band windows from a representative source, reused batch-wide
+    pro0 = prologue(12.0, 0.35, 0.7, 0.5)
+    offsets_j = jnp.asarray(
+        band_offsets_for(pro0, table, f0u, dfu, BINS_PER_RUN, BAND_RUNS)
+    )
+
+    def gen(p0, e0, th, ph):
+        pro = prologue(p0, e0, th, ph)
         return fd_waveform_core(
             pro, table, f_arr, channels=True, uniform=uniform,
-            band_runs=band_runs, band_offsets=offsets_j, bins_per_run=64,
+            band_runs=BAND_RUNS, band_offsets=offsets_j,
+            bins_per_run=BINS_PER_RUN,
         )
 
-    # Sync methodology: this environment's async runtime returns from
-    # block_until_ready / per-buffer transfers before the whole program
-    # finishes, and host transfers ride a slow remote tunnel (not part of
-    # the production flow — likelihoods consume spectra on device). A
-    # jitted scalar reduction over all outputs is the honest fence.
+    # posterior-wide walker batch
+    rng = np.random.default_rng(7)
+    p0s = jnp.asarray(12.0 + 0.12 * (rng.random(BATCH) - 0.5))
+    e0s = jnp.asarray(0.35 + 0.03 * (rng.random(BATCH) - 0.5))
+    ths = jnp.asarray(0.7 + 0.2 * (rng.random(BATCH) - 0.5))
+    phs = jnp.asarray(0.5 + 0.2 * (rng.random(BATCH) - 0.5))
+
+    checks: dict = {}
+
+    # ---- gate 0: trajectory step budget covers every lane ----
+    n_live = jax.jit(
+        jax.vmap(lambda p0, e0: waveform_prologue(
+            1e6, 10.0, p0, e0, 0.7, 0.5, 1.0, 0.0, 0.0,
+            t_years=T_YEARS, table=table, k_max=8, eps=0.5,
+            max_steps=MAX_STEPS,
+        ).n_live)
+    )(p0s, e0s)
+    checks["max_knots"] = int(jnp.max(n_live))
+    ok_knots = checks["max_knots"] <= MAX_STEPS - 4
+
+    # ---- gate 1: banded kernel vs the general sorted-grid kernel ----
+    sub = np.arange(0, nf, 617)
+    pro_l0 = jax.jit(prologue)(p0s[0], e0s[0], ths[0], phs[0])
+    banded = jax.jit(gen)(p0s[0], e0s[0], ths[0], phs[0])
+    general = jax.jit(
+        lambda pro: fd_waveform_core(pro, table, f_arr[jnp.asarray(sub)], channels=True)
+    )(pro_l0)
+    xerr = 0.0
+    for b_full, g_sub in zip(banded, general):
+        b_sub = np.asarray(b_full)[sub]
+        g_sub = np.asarray(g_sub)
+        scale = np.sqrt(np.mean(b_sub**2)) + 1e-300
+        xerr = max(xerr, float(np.sqrt(np.mean((b_sub - g_sub) ** 2)) / scale))
+    checks["kernel_xcheck_rel_l2"] = round(xerr, 8)
+    ok_xcheck = xerr < 2e-3
+
+    # ---- gate 2: FD/TD Hann mismatch at the full 1-yr config ----
+    t_grid = jnp.asarray(default_time_grid(T_YEARS, DT))
+    hp_td, hc_td = jax.jit(lambda pro: td_waveform_core(pro, table, t_grid))(pro_l0)
+    hp_td, hc_td = np.asarray(hp_td), np.asarray(hc_td)
+    hp_fd_pos = np.asarray(banded[0]) + 1j * np.asarray(banded[1])
+    hc_fd_pos = np.asarray(banded[2]) + 1j * np.asarray(banded[3])
+    hp_fd, hc_fd = _assemble_channels(freq, hp_fd_pos, hc_fd_pos, True)
+    w = np.hanning(len(hp_td))
+    fd_w = get_fd_windowed([hp_fd, hc_fd], w)
+    td_w = get_fft_td_windowed([hp_td, hc_td], w, DT)
+    pos = freq >= 0
+    mm_hp = _mismatch(fd_w[0][pos], td_w[0][pos])
+    mm_hc = _mismatch(fd_w[1][pos], td_w[1][pos])
+    checks["fd_td_hann_mismatch_hp"] = round(mm_hp, 8)
+    checks["fd_td_hann_mismatch_hc"] = round(mm_hc, 8)
+    ok_mismatch = mm_hp < 1e-4 and mm_hc < 1e-4
+
+    # ---- timing: in-graph repetition, scalar fence ----
     @jax.jit
-    def gen_batch_sum(p0s, e0s):
-        out = jax.vmap(gen, in_axes=(0, 0))(p0s, e0s)
-        return sum(jnp.sum(o) for o in out), sum(
-            jnp.sum(~jnp.isfinite(o)) for o in out
+    def bench_loop(p0s, e0s, ths, phs):
+        def body(i, acc):
+            out = jax.vmap(gen)(p0s + i * 1e-7, e0s, ths, phs)
+            s = sum(jnp.sum(o) for o in out)
+            nbad = sum(jnp.sum(~jnp.isfinite(o)) for o in out)
+            return (acc[0] + s.astype(jnp.float64), acc[1] + nbad.astype(jnp.int32))
+        return jax.lax.fori_loop(
+            0, REPS, body, (jnp.zeros((), jnp.float64), jnp.zeros((), jnp.int32))
         )
 
-    p0s = jnp.linspace(11.9, 12.1, batch)
-    e0s = jnp.full(batch, 0.35)
-
-    s, nbad = gen_batch_sum(p0s, e0s)
+    s, nbad = bench_loop(p0s, e0s, ths, phs)
     float(s)  # warmup + compile
-
-    reps = 3
+    n_timed = 2
     t0 = time.perf_counter()
-    for _ in range(reps):
-        s, nbad = gen_batch_sum(p0s, e0s)
+    for _ in range(n_timed):
+        s, nbad = bench_loop(p0s, e0s, ths, phs)
         float(s)
     t1 = time.perf_counter()
 
-    finite = int(nbad) == 0
-    wf_per_sec = batch * reps / (t1 - t0)
-    if not finite:
+    checks["finite"] = bool(int(nbad) == 0)
+    wf_per_sec = BATCH * REPS * n_timed / (t1 - t0)
+    ok = checks["finite"] and ok_knots and ok_xcheck and ok_mismatch
+    if not ok:
         wf_per_sec = 0.0
 
     print(
@@ -99,7 +177,8 @@ def main() -> None:
                 "metric": "all-mode FD waveforms/sec/chip (1yr, dt=10s, eps=1e-2, full grid)",
                 "value": round(wf_per_sec, 3),
                 "unit": "waveforms/s",
-                "vs_baseline": round(wf_per_sec / 1000.0, 5),
+                "vs_baseline": round(wf_per_sec / NORTH_STAR, 5),
+                "checks": checks,
             }
         )
     )

@@ -40,10 +40,12 @@ in the convention  h = sum_{lmn} A_lmn * (-2)Y_lm(Th, Ph) * e^{-i(m Phi_phi
 fixed by the equatorial symmetry  A_{l,-m,-n} = (-1)^l conj(A_{l,m,n}).
 
 The Fourier projections are spectrally-convergent trapezoid sums over the
-Darwin angle; cos/sin of n*Omega_r*t(chi) come from a Chebyshev-style
-recurrence over n (2 fma per harmonic instead of a transcendental), and the
-chi-axis contraction is a dense matmul — MXU-shaped when batched over
-trajectory knots.
+Darwin angle, evaluated in f32 end-to-end (amplitude precision ~1e-6
+relative — orders below the 1e-4 mismatch gate; waveform PHASES never pass
+through this module): the periodic antiderivatives t(chi), phi(chi) and the
+(knots, chi) x (chi, harmonics) projection are batched f32 matmuls at
+``Precision.HIGHEST`` — MXU-shaped, where the earlier f64 path paid the
+~20x emulation tax that made amplitudes the prologue bottleneck on v5e.
 """
 
 from __future__ import annotations
@@ -55,7 +57,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .geodesic import darwin_orbit
+from .geodesic import _N_CHI, _antiderivative_matrix, darwin_orbit
 
 _SQRT_PI_5 = float(np.sqrt(np.pi / 5.0))
 _SQRT_8PI_15 = float(np.sqrt(8.0 * np.pi / 15.0))
@@ -92,81 +94,137 @@ def default_mode_table(n_max: int = 30) -> ModeTable:
     return ModeTable(np.array(ls), np.array(ms), np.array(ns))
 
 
-@partial(jnp.vectorize, signature="(),()->(k),(k),(k)", excluded=(2,))
 def _orbit_harmonics(p, e, n_max: int):
-    """Fourier coefficients b_n (complex as re/im) of g2 and d_n of r^2.
+    """Fourier coefficients of the orbital multipoles for a batch of knots.
 
-    Returns (b_re, b_im, d_re) each of shape (2*n_max+1,) indexed by
-    n = -n_max..n_max (d_im is -odd symmetric and folded in by the caller:
-    d_{-n} = conj(d_n); we return the full b and the n>=0 half of d packed
-    into one array for a single vectorized signature).
+    ``p``, ``e``: any shape, flattened internally to a (BK,) batch. Returns
+    f32 arrays ``b_re``, ``b_im`` of shape (..., 2*n_max+1) indexed by
+    n = -n_max..n_max (coefficients of g2 = r^2 e^{2 i dphi}), ``d_re``,
+    ``d_im`` of shape (..., n_max+1) for n = 0..n_max (coefficients of r^2;
+    d_{-n} = conj(d_n)), plus (omega_phi, omega_r) f32 of shape (...,).
+
+    b_{+-n} = sum_j w_j (g_re + i g_im)(chi_j) e^{-+ i n theta_j} with
+    theta = Omega_r t(chi) and w the dt/dchi quadrature weights: one batched
+    (3, n_chi) @ (n_chi, 2(n_max+1)) f32 matmul per knot serves every
+    harmonic of every multipole at once.
     """
-    orbit = darwin_orbit(p, e)
-    t = orbit["t"]
-    phi = orbit["phi"]
-    r = orbit["r"]
-    t_r = orbit["T_r"]
-    dphi_total = orbit["Dphi"]
-    n_chi = t.shape[0]
+    shape = np.shape(p)
+    f32 = jnp.float32
+    n_chi = _N_CHI
+    p32 = jnp.reshape(jnp.asarray(p), (-1,)).astype(f32)[:, None]  # (BK, 1)
+    e32 = jnp.reshape(jnp.asarray(e), (-1,)).astype(f32)[:, None]
 
-    omega_r = 2.0 * jnp.pi / t_r
-    omega_phi = dphi_total / t_r
+    chi = (2.0 * np.pi / n_chi) * np.arange(n_chi)
+    cos_chi = jnp.asarray(np.cos(chi), f32)[None, :]
+    chi32 = jnp.asarray(chi, f32)[None, :]
 
-    dphi = phi - omega_phi * t  # periodic part of the azimuth
+    ecos = e32 * cos_chi
+    rad = p32 - 6.0 - 2.0 * ecos
+    r = p32 / (1.0 + ecos)
+    dphi_dchi = jnp.sqrt(p32 / rad)
+    dt_dchi = (
+        p32 * p32 * jnp.sqrt((p32 - 2.0) ** 2 - 4.0 * e32 * e32)
+        / ((p32 - 2.0 - 2.0 * ecos) * (1.0 + ecos) ** 2 * jnp.sqrt(rad))
+    )
+    h = f32(2.0 * np.pi / n_chi)
+    t_r = jnp.sum(dt_dchi, axis=-1, keepdims=True) * h  # (BK, 1)
+    dphi_tot = jnp.sum(dphi_dchi, axis=-1, keepdims=True) * h
+    omega_r = 2.0 * np.pi / t_r
+    omega_phi = dphi_tot / t_r
+
+    # periodic antiderivatives: one shared (n_chi, n_chi) f32 operator.
+    # Kept SPLIT as (periodic part, mean) — the periodic parts are O(e)-small
+    # and stay accurate in f32 where the assembled t(chi) (magnitude T_r)
+    # would lose ~1e-4 s to representation alone.
+    a_op_t = jnp.asarray(_antiderivative_matrix(n_chi).T, f32)
+
+    def periodic_antiderivative(g):
+        mean = jnp.mean(g, axis=-1, keepdims=True)
+        gint = jax.lax.dot_general(
+            g - mean, a_op_t, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return gint, mean
+
+    t_per, t_mean = periodic_antiderivative(dt_dchi)  # t = t_mean*chi + t_per
+    phi_per, phi_mean = periodic_antiderivative(dphi_dchi)
+
+    # periodic azimuth: dphi = phi - omega_phi t
+    #   = phi_per - omega_phi t_per + (phi_mean - omega_phi t_mean) chi,
+    # and the chi coefficient vanishes identically (omega_phi = phi_mean /
+    # t_mean), so assemble from the SMALL parts only
+    dphi = phi_per - omega_phi * t_per
     r2 = r * r
     g_re = r2 * jnp.cos(2.0 * dphi)
     g_im = r2 * jnp.sin(2.0 * dphi)
+    w = dt_dchi * (h / t_r)  # sums to 1
 
-    theta = omega_r * t  # in [0, 2pi)
-    c1, s1 = jnp.cos(theta), jnp.sin(theta)
-
-    # quadrature weight: (dt/dchi) dchi / T_r; we already have t on a uniform
-    # chi grid, so use the spectral identity sum f(chi_j) w_j with
-    # w_j = dt/dchi * (2pi/n)/T_r. dt/dchi is recovered exactly from the
-    # orbit dict by differentiating? -- darwin_orbit returns t built from
-    # dt/dchi; recompute the integrand weights directly instead.
-    ecos = e * jnp.cos(orbit["chi"])
-    rad = p - 6.0 - 2.0 * ecos
-    dt_dchi = (
-        p * p * jnp.sqrt((p - 2.0) ** 2 - 4.0 * e * e)
-        / ((p - 2.0 - 2.0 * ecos) * (1.0 + ecos) ** 2 * jnp.sqrt(rad))
+    # harmonic basis e^{-i n theta}, theta = Omega_r t(chi) = chi + theta_per
+    # with theta_per = t_per / t_mean (|.| < ~2 pi e, exact split since
+    # Omega_r t_mean = 1 identically). n*theta reaches ~190 rad where f32
+    # resolution is ~1.5e-5 rad — enough basis-phase error to leak the large
+    # low-n integrand components into the small high-n coefficients. Split
+    # exactly instead:
+    #   * n*chi_j mod 2pi is EXACT integer arithmetic on the uniform grid
+    #     (host-precomputed cos/sin tables);
+    #   * theta_per splits Cody-Waite style into a 2^-13-quantized head
+    #     (n*head is EXACT in f32 for n <= 2^10, range-reduced with a
+    #     two-term 2pi) plus a <=2^-14 tail whose n-fold product is benign;
+    #   * combine via the angle-addition identity.
+    theta_per = t_per / t_mean  # (BK, n_chi)
+    th_hi = jnp.round(theta_per * 8192.0) * f32(1.0 / 8192.0)
+    th_lo = theta_per - th_hi
+    n_np = np.arange(n_max + 1)
+    ang_grid = 2.0 * np.pi * ((n_np[None, :] * np.arange(n_chi)[:, None]) % n_chi) / n_chi
+    cos_a = jnp.asarray(np.cos(ang_grid), f32)[None]  # (1, n_chi, n_max+1)
+    sin_a = jnp.asarray(np.sin(ang_grid), f32)[None]
+    n_arr = jnp.asarray(n_np, f32)
+    two_pi_hi = f32(6.28125)  # exact in 8 bits: 2pi = hi + lo
+    two_pi_lo = f32(2.0 * np.pi - 6.28125)
+    ang_hi = th_hi[:, :, None] * n_arr[None, None, :]  # exact products
+    k = jnp.round(ang_hi * f32(1.0 / (2.0 * np.pi)))
+    b_small = (ang_hi - k * two_pi_hi) - k * two_pi_lo + th_lo[:, :, None] * n_arr
+    cos_b = jnp.cos(b_small)
+    sin_b = jnp.sin(b_small)
+    cs = jnp.concatenate(
+        [cos_a * cos_b - sin_a * sin_b, sin_a * cos_b + cos_a * sin_b], axis=-1
     )
-    w = dt_dchi * (2.0 * jnp.pi / n_chi) / t_r  # sums to 1
+    # subtract each integrand's DC before projecting: the n=0 component is
+    # ~30x the rest and residual basis-phase noise couples it into every
+    # harmonic; means contribute exactly delta_{n0} and are restored below
+    m_g_re = jnp.sum(w * g_re, axis=-1, keepdims=True)
+    m_g_im = jnp.sum(w * g_im, axis=-1, keepdims=True)
+    m_r2 = jnp.sum(w * r2, axis=-1, keepdims=True)
+    integ = jnp.stack(
+        [w * (g_re - m_g_re), w * (g_im - m_g_im), w * (r2 - m_r2)], axis=1
+    )  # (BK, 3, n_chi)
+    proj = jax.lax.dot_general(
+        integ, cs, (((2,), (1,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (BK, 3, 2(n_max+1))
 
-    def scan_body(carry, _):
-        cn, sn = carry  # cos(n theta), sin(n theta)
-        # projections at this n (for +n and -n):
-        #   b_{+n} = sum w (g_re + i g_im)(cn - i sn)
-        #   b_{-n} = sum w (g_re + i g_im)(cn + i sn)
-        wgc = jnp.sum(w * g_re * cn)
-        wgs = jnp.sum(w * g_re * sn)
-        wic = jnp.sum(w * g_im * cn)
-        wis = jnp.sum(w * g_im * sn)
-        wrc = jnp.sum(w * r2 * cn)
-        wrs = jnp.sum(w * r2 * sn)
-        out = jnp.stack(
-            [
-                wgc + wis,  # Re b_{+n}
-                wic - wgs,  # Im b_{+n}
-                wgc - wis,  # Re b_{-n}
-                wic + wgs,  # Im b_{-n}
-                wrc,  # Re d_{+n} (= Re d_{-n})
-                -wrs,  # Im d_{+n} (= -Im d_{-n})
-            ]
-        )
-        cn1 = cn * c1 - sn * s1
-        sn1 = sn * c1 + cn * s1
-        return (cn1, sn1), out
+    np1 = n_max + 1
+    dc = jnp.concatenate([jnp.ones((1,), f32), jnp.zeros((np1 - 1,), f32)])[None, :]
+    wgc, wgs = proj[:, 0, :np1] + m_g_re * dc, proj[:, 0, np1:]
+    wic, wis = proj[:, 1, :np1] + m_g_im * dc, proj[:, 1, np1:]
+    wrc, wrs = proj[:, 2, :np1] + m_r2 * dc, proj[:, 2, np1:]
 
-    (_, _), outs = jax.lax.scan(
-        scan_body, (jnp.ones_like(c1), jnp.zeros_like(s1)), None, length=n_max + 1
+    b_re = jnp.concatenate([(wgc - wis)[:, 1:][:, ::-1], wgc + wis], axis=-1)
+    b_im = jnp.concatenate([(wic + wgs)[:, 1:][:, ::-1], wic - wgs], axis=-1)
+    d_re = wrc
+    d_im = -wrs
+
+    def unflatten(x):
+        return jnp.reshape(x, shape + x.shape[1:])
+
+    return (
+        unflatten(b_re),
+        unflatten(b_im),
+        unflatten(d_re),
+        unflatten(d_im),
+        unflatten(omega_phi[:, 0]),
+        unflatten(omega_r[:, 0]),
     )
-    # outs: (n_max+1, 6) for n = 0..n_max
-    b_re = jnp.concatenate([outs[1:, 2][::-1], outs[:, 0]])  # n=-n_max..n_max
-    b_im = jnp.concatenate([outs[1:, 3][::-1], outs[:, 1]])
-    # d: pack n=0..n_max re then im in one (2*n_max+1,) array:
-    d_pack = jnp.concatenate([outs[:, 4], outs[1:, 5]])
-    return b_re, b_im, d_pack
 
 
 def mode_amplitudes(
@@ -180,19 +238,16 @@ def mode_amplitudes(
     full generic inventory so richer amplitude backends can swap in).
     """
     n_max = int(np.max(np.abs(table.ns))) if table.num_modes else 0
-    from .geodesic import fundamental_frequencies
-
-    omega_phi, omega_r = fundamental_frequencies(p, e)
-    b_re, b_im, d_pack = _orbit_harmonics(p, e, n_max)
+    b_re, b_im, d_re_all, d_im_all, omega_phi, omega_r = _orbit_harmonics(p, e, n_max)
 
     n_idx_b = table.ns + n_max  # index into n=-n_max..n_max axis
     is_m2 = (table.ls == 2) & (table.ms == 2)
     is_m0 = (table.ls == 2) & (table.ms == 0) & (table.ns >= 1)
 
-    # gather b_n for each mode
+    # gather b_n for each mode (static indices: compiles to a slice-select)
     bn_re = jnp.take(b_re, jnp.asarray(n_idx_b), axis=-1)
     bn_im = jnp.take(b_im, jnp.asarray(n_idx_b), axis=-1)
-    n_f = jnp.asarray(table.ns.astype(np.float64))
+    n_f = jnp.asarray(table.ns.astype(np.float32))
     omega_mn = 2.0 * omega_phi[..., None] + n_f * omega_r[..., None]
     fac22 = -2.0 * _SQRT_PI_5 * omega_mn * omega_mn
     a22_re = fac22 * bn_re
@@ -200,11 +255,10 @@ def mode_amplitudes(
 
     # m=0: A = sqrt(8pi/15) n^2 Omega_r^2 conj(d_n), n>=1
     dn_idx = np.clip(table.ns, 0, n_max)
-    d_re = jnp.take(d_pack, jnp.asarray(dn_idx), axis=-1)
-    d_im_idx = np.clip(n_max + table.ns, n_max, 2 * n_max)  # n>=1 -> packed im
+    d_re = jnp.take(d_re_all, jnp.asarray(dn_idx), axis=-1)
     d_im = jnp.where(
         jnp.asarray(table.ns >= 1),
-        jnp.take(d_pack, jnp.asarray(d_im_idx), axis=-1),
+        jnp.take(d_im_all, jnp.asarray(dn_idx), axis=-1),
         0.0,
     )
     fac20 = _SQRT_8PI_15 * (n_f * omega_r[..., None]) ** 2
@@ -213,7 +267,10 @@ def mode_amplitudes(
 
     re = jnp.where(jnp.asarray(is_m2), a22_re, jnp.where(jnp.asarray(is_m0), a20_re, 0.0))
     im = jnp.where(jnp.asarray(is_m2), a22_im, jnp.where(jnp.asarray(is_m0), a20_im, 0.0))
-    return re, im
+    # downstream (spline fits, FD/TD kernels) runs f64; values carry f32
+    # accuracy (~1e-6 relative), orders below the 1e-4 mismatch gate
+    dt = jnp.asarray(p).dtype
+    return re.astype(dt), im.astype(dt)
 
 
 class NewtonianAmplitude:

@@ -64,8 +64,18 @@ def mode_power(
     return jnp.sum(mag2, axis=0) * ywt
 
 
-def select_modes(power: jax.Array, k_max: int, eps: float) -> SelectedModes:
-    """Top-k_max modes by power, masked to cumulative fraction >= 1 - eps."""
+def select_modes(
+    power: jax.Array, k_max: int, eps: float, order_key: jax.Array | None = None
+) -> SelectedModes:
+    """Top-k_max modes by power, masked to cumulative fraction >= 1 - eps.
+
+    ``order_key``: optional (n_candidates,) per-mode sort key (e.g. the
+    band-start frequency). When given, the SELECTED modes are reordered
+    ascending in this key so slot k has a stable physical identity across a
+    vmapped batch — what lets the banded FD kernel share per-slot window
+    offsets across walkers whose top-k sets differ slightly (see
+    `summation_fd.fd_mode_sum_uniform`). Dead (masked) slots sort last.
+    """
     k_max = min(k_max, power.shape[-1])
     p_top, idx = jax.lax.top_k(power, k_max)
     total = jnp.sum(power, axis=-1, keepdims=False)
@@ -73,6 +83,12 @@ def select_modes(power: jax.Array, k_max: int, eps: float) -> SelectedModes:
     # keep mode i if the cumulative power *before* it is < (1-eps)*total
     cum_before = cum - p_top
     mask = (cum_before < (1.0 - eps) * total).astype(power.dtype)
+    if order_key is not None:
+        key = jnp.where(mask > 0, jnp.take(order_key, idx), jnp.inf)
+        order = jnp.argsort(key)
+        idx = jnp.take(idx, order)
+        mask = jnp.take(mask, order)
+        p_top = jnp.take(p_top, order)
     return SelectedModes(idx=idx.astype(jnp.int32), mask=mask, power=p_top)
 
 

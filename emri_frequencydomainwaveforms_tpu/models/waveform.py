@@ -102,7 +102,18 @@ def waveform_prologue(
         )
     else:
         power = mode_power(a_re, a_im, yp_re, yp_im, ym_re, ym_im, dt_weights=live)
-        sel = select_modes(power, k_max, eps)
+        # order selected slots by band-start frequency: slot identity then
+        # varies smoothly across a walker batch, so the banded FD kernel's
+        # per-slot window offsets can be shared batch-wide (margins absorb
+        # the drift) even when lanes select slightly different top-k sets
+        from .geodesic import fundamental_frequencies_seconds
+
+        om_phi0, om_r0 = fundamental_frequencies_seconds(traj.p[0], traj.e[0], mass_1)
+        f_start_key = (
+            jnp.asarray(table.ms.astype(np.float64)) * om_phi0
+            + jnp.asarray(table.ns.astype(np.float64)) * om_r0
+        ) / (2.0 * math.pi)
+        sel = select_modes(power, k_max, eps, order_key=f_start_key)
 
     dist_factor = mass_2 * MRSUN_SI / (dist * Gpc)
     t_end = traj.t[jnp.maximum(traj.n - 1, 0)]
