@@ -77,12 +77,16 @@ def integrate_inspiral(
       max_steps: static knot-buffer size.
       rtol/atol: local error control.
       tail_slope_mask: per-component 0/1 mask; masked-1 components are padded
-        past the live knots with LINEAR extrapolation at their final RHS rate
-        (phases: keeps the global spline fit monotone through the live/pad
-        junction — constant-value padding makes the fitted derivative wiggle
-        negative in the last live segments, breaking the FD kernel's
-        monotonicity mask), masked-0 components are padded constant (p, e:
-        linear continuation would cross the separatrix into NaN territory).
+        past the live knots with a QUADRATIC continuation matching the final
+        value, RHS rate, and RHS-derivative curvature (phases: the global
+        not-a-knot spline fit is C2, so any curvature jump at the live/pad
+        junction is smeared into the last live segments — a linear ramp
+        (curvature drops to 0) left ~0.03 rad of phase error there, exposed
+        by the golden-value test against the reference notebook's scipy
+        pipeline; curvature-matched padding removes the jump entirely and
+        keeps the fitted derivative monotone through the junction), masked-0
+        components are padded constant (p, e: any continuation would cross
+        the separatrix into NaN territory).
       h_max_frac: cap on the step size as a fraction of t_max. The knots are
         consumed by downstream cubic-spline fits (phase/amplitude/frequency
         interpolation between knots), so knot density — not ODE local error —
@@ -191,8 +195,15 @@ def integrate_inspiral(
     live = idxs < n
     t_out = jnp.where(live, final.t_buf, t_pad)
     if tail_slope_mask is not None:
-        rates = rhs(last_y) * jnp.asarray(tail_slope_mask, dtype)
-        y_pad = last_y[None, :] + rates[None, :] * (t_pad - last_t)[:, None]
+        mask = jnp.asarray(tail_slope_mask, dtype)
+        rates_full, acc_full = jax.jvp(rhs, (last_y,), (rhs(last_y),))
+        # guard: at the separatrix edge the RHS derivative can leave the
+        # bound-orbit domain; fall back to linear continuation there
+        acc_full = jnp.where(jnp.isfinite(acc_full), acc_full, 0.0)
+        rates = rates_full * mask
+        acc = acc_full * mask
+        dt_pad = (t_pad - last_t)[:, None]
+        y_pad = last_y[None, :] + rates[None, :] * dt_pad + 0.5 * acc[None, :] * dt_pad**2
     else:
         y_pad = jnp.broadcast_to(last_y[None, :], final.y_buf.shape)
     y_out = jnp.where(live[:, None], final.y_buf, y_pad)
