@@ -69,9 +69,17 @@ TPU design:
   scatter+cumsum, instead of Nf independent binary searches (Nf log K
   serial gathers).
 
-Current scope: modes with monotonically increasing f_i(t) (the dominant
-content for chirping inspirals); decreasing/turnover harmonics are masked
-out (tracked for a later segment-splitting extension).
+Scope: the general kernel (`fd_mode_sum`) evaluates each mode's first
+INCREASING monotone run in its main scan slot and — with
+``turnover_slots > 0`` — the first DECREASING run (post-turnover branch of
+plunging harmonics) in extra slots, traversing nodes in reverse time with
+the conjugated Bessel factor; the two branches' K_{1/3} factors sum to the
+Airy caustic behavior at the fold (validated against brute-force
+oscillatory integrals of a synthetic quadratic fold in
+``tests/test_turnover.py``). Negative-frequency ranges (direct-term
+stationary points) remain out of scope. The banded uniform kernel keeps
+the single-branch band truncation (turnover content is a near-fold
+sliver; production full-grid scoring is dominated by the chirp band).
 """
 
 from __future__ import annotations
@@ -112,6 +120,20 @@ class FDKernelInputs(NamedTuple):
     n_live: jax.Array  # scalar int: live knot count
     n_eff: jax.Array  # (k_max,) int32: per-mode usable knot count (band
     # truncated at the first non-monotone segment, e.g. near plunge)
+    # --- monotone-run windows for the turnover-capable general kernel ---
+    # first INCREASING run of f_i(t) (knot window, inclusive): equals
+    # [0, n_eff-1] for modes chirping up from the start; starts later for
+    # modes that dip first. inc_live folds in sel.mask + a >=3-segment
+    # length requirement.
+    inc_lo: jax.Array  # (k_max,) int32
+    inc_hi: jax.Array
+    inc_live: jax.Array
+    # first DECREASING run (the post-turnover branch near plunge, or the
+    # pre-minimum branch of dipping modes)
+    dec_lo: jax.Array
+    dec_hi: jax.Array
+    dec_live: jax.Array
+    power: jax.Array  # (k_max,) selection power (ranks turnover slots)
 
 
 def prepare_fd_inputs(
@@ -152,7 +174,8 @@ def prepare_fd_inputs(
     # start (strong negative-n near plunge) are still masked out.
     k = t_knots.shape[0]
     f_knots_all = m_sel[:, None] * f_phi_knots[None, :] + n_sel[:, None] * f_r_knots[None, :]
-    live_seg = (jnp.arange(k - 1) < (n_live - 1))[None, :]
+    seg_idx = jnp.arange(k - 1)
+    live_seg = (seg_idx < (n_live - 1))[None, :]
     df = jnp.diff(f_knots_all, axis=1)
     bad = (df <= 0.0) & live_seg
     any_bad = jnp.any(bad, axis=1)
@@ -161,6 +184,30 @@ def prepare_fd_inputs(
     positive = f_knots_all[:, 0] > 0.0
     enough = n_eff >= 4
     mode_live = sel.mask * (positive & enough).astype(t_knots.dtype)
+
+    # monotone-run windows (turnover-capable general kernel): the first
+    # increasing and first decreasing runs of the live knot frequencies.
+    # EMRI harmonics have at most one physical turnover; wiggle runs
+    # shorter than 3 segments are rejected by the length requirement.
+    def _first_run(ok):
+        any_ok = jnp.any(ok, axis=1)
+        start = jnp.argmax(ok, axis=1)
+        stop_mask = (~ok) & (seg_idx[None, :] >= start[:, None])
+        stop = jnp.where(
+            jnp.any(stop_mask, axis=1), jnp.argmax(stop_mask, axis=1), k - 1
+        )
+        ok_len = any_ok & ((stop - start) >= 3)
+        return start.astype(jnp.int32), stop.astype(jnp.int32), ok_len
+
+    # restrict runs to f > 0: the C_i(f) formula evaluates the PARTNER term
+    # at stationary points with Phi' = 2 pi f > 0; negative-frequency ranges
+    # obey the direct-term formula (A, Y^+, opposite phase sign) and are out
+    # of scope here, as in the single-branch kernel
+    pos_seg = (f_knots_all[:, :-1] > 0.0) & (f_knots_all[:, 1:] > 0.0)
+    inc_lo, inc_hi, inc_ok = _first_run((df > 0.0) & live_seg & pos_seg)
+    dec_lo, dec_hi, dec_ok = _first_run((df < 0.0) & live_seg & pos_seg)
+    inc_live = sel.mask * inc_ok.astype(t_knots.dtype)
+    dec_live = sel.mask * dec_ok.astype(t_knots.dtype)
 
     return FDKernelInputs(
         t_knots=t_knots,
@@ -179,13 +226,30 @@ def prepare_fd_inputs(
         mode_live=mode_live,
         n_live=n_live,
         n_eff=n_eff,
+        inc_lo=inc_lo,
+        inc_hi=inc_hi,
+        inc_live=inc_live,
+        dec_lo=dec_lo,
+        dec_hi=dec_hi,
+        dec_live=dec_live,
+        power=sel.power,
     )
 
 
 def fd_mode_sum(
-    inp: FDKernelInputs, f_pos: jax.Array, nodes_per_segment: int = 32
+    inp: FDKernelInputs,
+    f_pos: jax.Array,
+    nodes_per_segment: int = 32,
+    turnover_slots: int = 0,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Accumulate sum_i C_i(f) * W1_i and * W2_i over the selected modes.
+
+    ``turnover_slots``: static budget of extra scan slots evaluating the
+    DECREASING monotone branch of modes whose f_i(t) turns over (plunging
+    sources; reference construction evaluates every monotone branch with
+    the uniform Bessel correction — the K_{1/3} factor of the two branches
+    sums to the Airy fold behavior near fdot = 0). Slots are assigned to
+    the highest-power turnover modes; 0 keeps the single-branch cost.
 
     Two-level evaluation (the TPU-native reshaping of the reference's
     per-bin CUDA loop):
@@ -239,7 +303,7 @@ def fd_mode_sum(
 
     def body(carry, mode):
         o1r, o1i, o2r, o2i = carry
-        (cphi_m, ar_ci, ai_ci, f_knots_i, w1r, w1i, w2r, w2i, live_i, n_eff_i) = mode
+        (cphi_m, ar_ci, ai_ci, w1r, w1i, w2r, w2i, live_i, k_lo_i, k_hi_i, dirn_i) = mode
 
         # ===== Level 1: per-node closed-form evaluation (f64) =====
         cn = jnp.take(cphi_m, seg_of_node_j, axis=0)  # (N_nodes, 4)
@@ -258,16 +322,21 @@ def fd_mode_sum(
         a_im = ain[..., 0] + dxn32 * (ain[..., 1] + dxn32 * (ain[..., 2] + dxn32 * ain[..., 3]))
 
         # uniform SPA factor in the overflow-free f32 form
-        #   F = C(w) / sqrt(fdot),  C(w) = K_{1/3}(i w) e^{i w} sqrt(2|w|/pi)
-        # (algebraically equal to (2/sqrt3)(fdot/|fddot|) K13 e^w; C ->
+        #   F = C(w) / sqrt(|fdot|),  C(w) = K_{1/3}(i w) e^{i w} sqrt(2|w|/pi)
+        # (algebraically equal to (2/sqrt3)(|fdot|/|fddot|) K13 e^w; C ->
         # e^{i pi/4} away from turnover, -> 0 as w -> 0). w is formed in f64
         # (fdot^3 ~ 1e-33 underflows f32) then cast; the Bessel evaluation
         # and envelope assembly run in f32 — v5e f64 transcendentals at the
-        # nodes were the dominant cost of the level-1 pass.
-        fdot_s = jnp.maximum(fdot_n, 1e-300)  # monotone-increasing modes only
+        # nodes were the dominant cost of the level-1 pass. On a DECREASING
+        # branch (dirn < 0) the true argument has the opposite sign and the
+        # factor is the complex conjugate (asymptote e^{-i pi/4}): evaluate
+        # at -|w| and flip the imaginary part.
+        fdot_s = jnp.maximum(jnp.abs(fdot_n), 1e-300)
         w_arg = -_TWO_PI * fdot_s**3 / (3.0 * jnp.maximum(fddot_n * fddot_n, 1e-300))
-        w32 = jnp.clip(w_arg, -1e12, -1e-6).astype(f32)
+        w32 = jnp.clip(w_arg, -1e12, -1e-30).astype(f32)  # floor only guards
+    # log(0); the ascending series is accurate to w -> 0 (fold interior)
         k_re, k_im = kve_one_third_imag(w32)
+        k_im = k_im * dirn_i.astype(f32)
         corr = jnp.sqrt(2.0 * jnp.abs(w32) * f32(1.0 / math.pi))
         inv_sqrt_fdot = jax.lax.rsqrt(jnp.maximum(fdot_s.astype(f32), f32(1e-37)))
         cr = k_re * corr * inv_sqrt_fdot
@@ -276,26 +345,57 @@ def fd_mode_sum(
         e_re = a_re * cr + a_im * ci
         e_im = a_re * ci - a_im * cr
 
-        # strictly-increasing node frequency array. The FIRST dead node (the
-        # left edge of the first padded segment, t = t_end) keeps its true
-        # value f_end so the final live interval [last-live-node, f_end]
-        # gets genuine Hermite coefficients; later dead nodes get a ramp.
-        f_end = f_knots_i[jnp.maximum(n_eff_i - 1, 0)]
-        live_ext = node_idx <= (n_eff_i - 1) * s_nodes
-        ramp = jnp.maximum(node_idx - (n_eff_i - 1) * s_nodes, 0).astype(f_n.dtype)
-        f_node_s = jnp.where(live_ext, f_n, f_end) + ramp * jnp.maximum(
-            jnp.abs(f_knots_i[-1]), 1.0
+        # Node ordering must ascend in f: on a decreasing branch traverse
+        # the nodes in reverse time. (jnp.where on the flipped arrays — a
+        # cheap elementwise select, shared across the scan body.)
+        rev = dirn_i < 0
+
+        def orient(x):
+            return jnp.where(rev, x[::-1], x)
+
+        f_n = orient(f_n)
+        psi_n = orient(psi_n)
+        t_node_o = orient(t_node)
+        e_re = orient(e_re)
+        e_im = orient(e_im)
+
+        # knot window -> node window (in oriented index space)
+        lo_n = k_lo_i * s_nodes
+        hi_n = k_hi_i * s_nodes
+        lo_o = jnp.where(rev, (n_nodes - 1) - hi_n, lo_n)
+        hi_o = jnp.where(rev, (n_nodes - 1) - lo_n, hi_n)
+
+        # strictly-increasing node frequency array: true values inside the
+        # window, linear ramps outside (coefficients of out-of-window
+        # intervals are garbage; their bins are masked by in_range). The
+        # node AT each window edge keeps its true value so the edge
+        # intervals get genuine Hermite coefficients.
+        f_lo_val = f_n[jnp.clip(lo_o, 0, n_nodes - 1)]
+        f_hi_val = f_n[jnp.clip(hi_o, 0, n_nodes - 1)]
+        step = jnp.maximum(jnp.abs(f_hi_val), 1.0)
+        below = node_idx < lo_o
+        above = node_idx > hi_o
+        f_node_s = jnp.where(
+            below,
+            f_lo_val - (lo_o - node_idx).astype(f_n.dtype) * step,
+            jnp.where(
+                above,
+                f_hi_val + (node_idx - hi_o).astype(f_n.dtype) * step,
+                f_n,
+            ),
         )
+        f_start, f_end = f_lo_val, f_hi_val
+        t_node_l = t_node_o
 
         # per-interval coefficients (interval i: node i -> node i+1)
         f_lo = f_node_s
         df_n = jnp.diff(f_node_s, append=f_node_s[-1:] + 1.0)
         inv_df = 1.0 / jnp.where(jnp.abs(df_n) > 0, df_n, 1.0)
         psi_hi = jnp.roll(psi_n, -1)
-        t_hi = jnp.roll(t_node, -1)
+        t_hi = jnp.roll(t_node_l, -1)
         # Hermite in xi = (f - f_lo)/df: values psi_lo/psi_hi, exact
         # derivatives dPsi/df = -2 pi t  ->  d/dxi = -2 pi t * df
-        d_lo = -_TWO_PI * t_node * df_n
+        d_lo = -_TWO_PI * t_node_l * df_n
         d_hi = -_TWO_PI * t_hi * df_n
         dpsi = psi_hi - psi_n
         p0_full = psi_n
@@ -316,7 +416,6 @@ def fd_mode_sum(
         dei_32 = (e_im_hi - e_im).astype(f32)
         inv_df_32 = inv_df.astype(f32)
 
-        f_start = f_knots_i[0]
         in_range = (f_pos >= f_start) & (f_pos <= f_end)
 
         # ===== Level 2: dense evaluation (f32 + one f64 gather/sub) =====
@@ -357,24 +456,41 @@ def fd_mode_sum(
         inp.m_sel[:, None, None] * inp.c_phi_phi[None]
         + inp.n_sel[:, None, None] * inp.c_phi_r[None]
     )
-    f_knots_all = (
-        inp.m_sel[:, None] * inp.f_phi_knots[None, :] + inp.n_sel[:, None] * inp.f_r_knots[None, :]
-    )
+    k_max = cphi_all.shape[0]
+    slots = [
+        cphi_all,
+        inp.ar_c,
+        inp.ai_c,
+        inp.w1_re,
+        inp.w1_im,
+        inp.w2_re,
+        inp.w2_im,
+        inp.inc_live,
+        inp.inc_lo,
+        inp.inc_hi,
+        jnp.ones((k_max,), jnp.int32),  # dirn = +1
+    ]
+    if turnover_slots > 0:
+        # assign extra slots to the highest-power modes with a decreasing run
+        score = inp.dec_live * (inp.power + 1e-300)
+        _, pick = jax.lax.top_k(score, min(turnover_slots, k_max))
+        picked_live = jnp.take(inp.dec_live, pick)
+        extra = [
+            jnp.take(cphi_all, pick, axis=0),
+            jnp.take(inp.ar_c, pick, axis=0),
+            jnp.take(inp.ai_c, pick, axis=0),
+            jnp.take(inp.w1_re, pick),
+            jnp.take(inp.w1_im, pick),
+            jnp.take(inp.w2_re, pick),
+            jnp.take(inp.w2_im, pick),
+            picked_live,
+            jnp.take(inp.dec_lo, pick),
+            jnp.take(inp.dec_hi, pick),
+            -jnp.ones((pick.shape[0],), jnp.int32),  # dirn = -1
+        ]
+        slots = [jnp.concatenate([a, b], axis=0) for a, b in zip(slots, extra)]
     (o1r, o1i, o2r, o2i), _ = jax.lax.scan(
-        body,
-        (zero, zero, zero, zero),
-        (
-            cphi_all,
-            inp.ar_c,
-            inp.ai_c,
-            f_knots_all,
-            inp.w1_re,
-            inp.w1_im,
-            inp.w2_re,
-            inp.w2_im,
-            inp.mode_live,
-            inp.n_eff,
-        ),
+        body, (zero, zero, zero, zero), tuple(slots)
     )
     dt_out = f_pos.dtype
     return o1r.astype(dt_out), o1i.astype(dt_out), o2r.astype(dt_out), o2i.astype(dt_out)
@@ -664,7 +780,8 @@ def _level1_uniform_tables(
     a_re = g[..., 13] + dx32 * (g[..., 14] + dx32 * (g[..., 15] + dx32 * g[..., 16]))
     a_im = g[..., 17] + dx32 * (g[..., 18] + dx32 * (g[..., 19] + dx32 * g[..., 20]))
     w_arg = -_TWO_PI * fdot**3 / (3.0 * jnp.maximum(fddot * fddot, 1e-300))
-    w32 = jnp.clip(w_arg, -1e12, -1e-6).astype(f32)
+    w32 = jnp.clip(w_arg, -1e12, -1e-30).astype(f32)  # floor only guards
+    # log(0); the ascending series is accurate to w -> 0 (fold interior)
     k_re, k_im = kve_one_third_imag(w32)
     corr = jnp.sqrt(2.0 * jnp.abs(w32) * f32(1.0 / math.pi))
     inv_sq = jax.lax.rsqrt(jnp.maximum(fdot.astype(f32), f32(1e-37)))

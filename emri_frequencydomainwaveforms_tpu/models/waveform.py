@@ -145,6 +145,7 @@ def fd_waveform_core(
     band_runs: int | None = None,
     bins_per_run: int = 64,
     band_offsets=None,
+    turnover_slots: int = 0,
 ):
     """FD waveform on positive frequencies.
 
@@ -200,7 +201,7 @@ def fd_waveform_core(
             band_offsets=band_offsets,
         )
     else:
-        o1r, o1i, o2r, o2i = fd_mode_sum(inp, f_pos)
+        o1r, o1i, o2r, o2i = fd_mode_sum(inp, f_pos, turnover_slots=turnover_slots)
     d = pro.dist_factor
     return o1r * d, o1i * d, o2r * d, o2i * d
 
