@@ -4,9 +4,12 @@ from .backends.hdf import HDFBackend, TempHDFBackend
 from .backends.memory import Backend
 from .ensemble import EnsembleSampler
 from .moves.gaussian import GaussianMove, MHMove
+from .moves.group import CombineMove, DelayedRejectionMove, GroupStretchMove
+from .moves.mt import MTDistGenMove
 from .moves.rj import DistributionGenerateRJ
 from .moves.stretch import StretchMove
 from .moves.tempering import TemperatureControl, make_ladder
+from .moves.tree import TreeGaussianMove, TreeStretchMove
 from .prior import (
     MappedUniformDistribution,
     ProbDistContainer,

@@ -40,10 +40,13 @@ class HDFBackend(Backend):
                 return False
             g = f[self.group]
             self.nwalkers = int(g.attrs["nwalkers"])
-            self.ndim = int(g.attrs["ndim"])
             self.ntemps = int(g.attrs["ntemps"])
-            self.nleaves_max = int(g.attrs["nleaves_max"])
             self.branch_names = list(g.attrs["branch_names"])
+            self.ndims = {k: int(v) for k, v in zip(self.branch_names, g.attrs["ndims"])}
+            self.nleaves_max = {
+                k: int(v) for k, v in zip(self.branch_names, g.attrs["nleaves_max"])
+            }
+            self.ndim = self.ndims[self.branch_names[0]]
             self.iteration = int(g.attrs["iteration"])
             self._accepted = g["accepted"][:]
             self._swaps_accepted = g["swaps_accepted"][:]
@@ -60,11 +63,17 @@ class HDFBackend(Backend):
             g.attrs["nwalkers"] = self.nwalkers
             g.attrs["ndim"] = self.ndim
             g.attrs["ntemps"] = self.ntemps
-            g.attrs["nleaves_max"] = self.nleaves_max
             g.attrs["branch_names"] = self.branch_names
+            g.attrs["ndims"] = [self.ndims[k] for k in self.branch_names]
+            g.attrs["nleaves_max"] = [self.nleaves_max[k] for k in self.branch_names]
             g.attrs["iteration"] = 0
-            shape = (0, self.ntemps, self.nwalkers, self.nleaves_max, self.ndim)
-            g.create_dataset("chain", shape=shape, maxshape=(None,) + shape[1:], dtype=self.dtype)
+            for name in self.branch_names:
+                shape = (0, self.ntemps, self.nwalkers,
+                         self.nleaves_max[name], self.ndims[name])
+                g.create_dataset(f"chain_{name}", shape=shape,
+                                 maxshape=(None,) + shape[1:], dtype=self.dtype)
+                g.create_dataset(f"inds_{name}", shape=shape[:-1],
+                                 maxshape=(None,) + shape[1:-1], dtype=bool)
             ll_shape = (0, self.ntemps, self.nwalkers)
             g.create_dataset("log_like", shape=ll_shape, maxshape=(None,) + ll_shape[1:], dtype=self.dtype)
             g.create_dataset("log_prior", shape=ll_shape, maxshape=(None,) + ll_shape[1:], dtype=self.dtype)
@@ -77,19 +86,25 @@ class HDFBackend(Backend):
     def save_step(self, state: State, accepted, rj_accepted=None, swaps_accepted=None, swap_frac=None):
         import h5py
 
-        name = self.branch_names[0]
         with h5py.File(self.filename, "a") as f:
             g = f[self.group]
             it = int(g.attrs["iteration"])
-            for ds_name, val in (
-                ("chain", np.asarray(state.branches[name].coords)[None]),
-                ("log_like", np.asarray(state.log_like)[None]),
-                ("log_prior", np.asarray(state.log_prior)[None]),
-                ("betas", np.asarray(state.betas)[None]),
-            ):
+            entries = [
+                ("log_like", np.asarray(state.log_like)),
+                ("log_prior", np.asarray(state.log_prior)),
+                ("betas", np.asarray(state.betas)),
+            ]
+            for name in self.branch_names:
+                b = state.branches[name]
+                coords = np.asarray(b.coords)
+                inds = np.asarray(b.inds)
+                coords = np.where(inds[..., None], coords, np.nan)
+                entries.append((f"chain_{name}", coords))
+                entries.append((f"inds_{name}", inds))
+            for ds_name, val in entries:
                 ds = g[ds_name]
                 ds.resize(it + 1, axis=0)
-                ds[it] = val[0]
+                ds[it] = val
             acc = np.asarray(accepted)
             if acc.ndim == 1:
                 acc = np.broadcast_to(acc[:, None] / max(self.nwalkers, 1), (self.ntemps, self.nwalkers))
@@ -115,10 +130,25 @@ class HDFBackend(Backend):
         return data
 
     def get_chain(self, discard: int = 0, thin: int = 1, temp_index=None, **kwargs):
-        chain = self._read("chain", discard, thin)
-        if temp_index is not None:
-            chain = chain[:, temp_index]
-        return {self.branch_names[0]: chain}
+        out = {}
+        for name in self.branch_names:
+            chain = self._read(f"chain_{name}", discard, thin)
+            if temp_index is not None:
+                chain = chain[:, temp_index]
+            out[name] = chain
+        return out
+
+    def get_inds(self, discard: int = 0, thin: int = 1, **kwargs):
+        return {
+            name: self._read(f"inds_{name}", discard, thin)
+            for name in self.branch_names
+        }
+
+    def get_nleaves(self, discard: int = 0, thin: int = 1, **kwargs):
+        return {
+            name: self._read(f"inds_{name}", discard, thin).sum(axis=-1)
+            for name in self.branch_names
+        }
 
     def get_log_like(self, discard: int = 0, thin: int = 1, **kwargs):
         return self._read("log_like", discard, thin)
@@ -135,20 +165,25 @@ class HDFBackend(Backend):
         with h5py.File(self.filename, "r") as f:
             g = f[self.group]
             it = int(g.attrs["iteration"])
-            chain = g["chain"][it - 1]
+            coords = {}
+            inds = {}
+            for name in self.branch_names:
+                c = g[f"chain_{name}"][it - 1]
+                i = g[f"inds_{name}"][it - 1]
+                coords[name] = jnp.asarray(np.where(i[..., None], c, 0.0))
+                inds[name] = jnp.asarray(i)
             ll = g["log_like"][it - 1]
             lp = g["log_prior"][it - 1]
             betas = g["betas"][it - 1]
             key_data = g["random_state"][:]
-        key = jax.random.PRNGKey(0)
         key = jax.random.wrap_key_data(np.asarray(key_data, dtype=np.uint32))
         return make_state(
-            jnp.asarray(chain),
+            coords,
+            inds=inds,
             log_like=jnp.asarray(ll),
             log_prior=jnp.asarray(lp),
             betas=jnp.asarray(betas),
             random_state=key,
-            name=self.branch_names[0],
         )
 
     @property

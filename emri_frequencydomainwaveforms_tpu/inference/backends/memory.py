@@ -27,16 +27,29 @@ class Backend:
 
     def reset(self, nwalkers, ndims, ntemps=1, nleaves_max=1, branch_names=None, **kwargs):
         self.nwalkers = nwalkers
-        self.ndim = int(ndims[0] if isinstance(ndims, (list, tuple, np.ndarray)) else ndims)
-        self.ntemps = ntemps
-        self.nleaves_max = nleaves_max if isinstance(nleaves_max, int) else int(nleaves_max[0])
         self.branch_names = branch_names or ["model_0"]
+        if isinstance(ndims, dict):
+            self.ndims = {k: int(v) for k, v in ndims.items()}
+        elif isinstance(ndims, (list, tuple, np.ndarray)):
+            self.ndims = {k: int(d) for k, d in zip(self.branch_names, ndims)}
+        else:
+            self.ndims = {k: int(ndims) for k in self.branch_names}
+        self.ndim = self.ndims[self.branch_names[0]]
+        self.ntemps = ntemps
+        if isinstance(nleaves_max, dict):
+            self.nleaves_max = {k: int(v) for k, v in nleaves_max.items()}
+        elif isinstance(nleaves_max, (list, tuple, np.ndarray)):
+            self.nleaves_max = {k: int(v) for k, v in zip(self.branch_names, nleaves_max)}
+        else:
+            self.nleaves_max = {k: int(nleaves_max) for k in self.branch_names}
         self.iteration = 0
-        self._chain = []
+        self._chain = {k: [] for k in self.branch_names}
+        self._inds = {k: [] for k in self.branch_names}
         self._log_like = []
         self._log_prior = []
         self._betas = []
         self._accepted = np.zeros((ntemps, nwalkers))
+        self._rj_accepted = np.zeros((ntemps, nwalkers))
         self._swaps_accepted = np.zeros((max(ntemps - 1, 0),))
         self._rstate = None
         self.initialized = True
@@ -45,8 +58,15 @@ class Backend:
         pass  # python lists grow dynamically
 
     def save_step(self, state: State, accepted, rj_accepted=None, swaps_accepted=None, swap_frac=None):
-        name = self.branch_names[0]
-        self._chain.append(np.asarray(state.branches[name].coords))
+        for name in self.branch_names:
+            b = state.branches[name]
+            coords = np.asarray(b.coords)
+            inds = np.asarray(b.inds)
+            # inactive leaves stored as NaN (reference save_step missing-leaf
+            # fill) so flat chains can be filtered with ~isnan
+            coords = np.where(inds[..., None], coords, np.nan)
+            self._chain[name].append(coords)
+            self._inds[name].append(inds)
         self._log_like.append(np.asarray(state.log_like))
         self._log_prior.append(np.asarray(state.log_prior))
         self._betas.append(np.asarray(state.betas))
@@ -55,6 +75,12 @@ class Backend:
             self._accepted += acc[:, None] / max(self.nwalkers, 1)
         else:
             self._accepted += acc
+        if rj_accepted is not None:
+            rj = np.asarray(rj_accepted)
+            if rj.ndim == 1:
+                self._rj_accepted += rj[:, None] / max(self.nwalkers, 1)
+            else:
+                self._rj_accepted += rj
         if swap_frac is not None and len(swap_frac):
             self._swaps_accepted += np.asarray(swap_frac)
         self._rstate = state.random_state
@@ -67,11 +93,25 @@ class Backend:
         return np.stack(lst[discard::thin], axis=0)
 
     def get_chain(self, discard: int = 0, thin: int = 1, temp_index=None, **kwargs):
-        name = self.branch_names[0]
-        chain = self._stack(self._chain, discard, thin)
-        if temp_index is not None:
-            chain = chain[:, temp_index]
-        return {name: chain}
+        out = {}
+        for name in self.branch_names:
+            chain = self._stack(self._chain[name], discard, thin)
+            if chain is not None and temp_index is not None:
+                chain = chain[:, temp_index]
+            out[name] = chain
+        return out
+
+    def get_inds(self, discard: int = 0, thin: int = 1, **kwargs):
+        return {
+            name: self._stack(self._inds[name], discard, thin)
+            for name in self.branch_names
+        }
+
+    def get_nleaves(self, discard: int = 0, thin: int = 1, **kwargs):
+        return {
+            name: (self._stack(self._inds[name], discard, thin)).sum(axis=-1)
+            for name in self.branch_names
+        }
 
     def get_log_like(self, discard: int = 0, thin: int = 1, **kwargs):
         return self._stack(self._log_like, discard, thin)
@@ -91,14 +131,20 @@ class Backend:
         }[name](**kwargs)
 
     def get_last_sample(self) -> State:
-        name = self.branch_names[0]
+        coords = {}
+        inds = {}
+        for name in self.branch_names:
+            c = np.asarray(self._chain[name][-1])
+            i = np.asarray(self._inds[name][-1])
+            coords[name] = jnp.asarray(np.where(i[..., None], c, 0.0))
+            inds[name] = jnp.asarray(i)
         st = make_state(
-            jnp.asarray(self._chain[-1]),
+            coords,
+            inds=inds,
             log_like=jnp.asarray(self._log_like[-1]),
             log_prior=jnp.asarray(self._log_prior[-1]),
             betas=jnp.asarray(self._betas[-1]),
             random_state=self._rstate,
-            name=name,
         )
         return st
 

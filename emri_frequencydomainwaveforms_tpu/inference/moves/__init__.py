@@ -1,0 +1,24 @@
+"""Move library (flat + tree contracts)."""
+
+from .gaussian import GaussianMove, MHMove
+from .group import CombineMove, DelayedRejectionMove, GroupStretchMove
+from .mt import MTDistGenMove
+from .rj import DistributionGenerateRJ
+from .stretch import StretchMove
+from .tempering import TemperatureControl, make_ladder
+from .tree import TreeGaussianMove, TreeStretchMove
+
+__all__ = [
+    "GaussianMove",
+    "MHMove",
+    "CombineMove",
+    "DelayedRejectionMove",
+    "GroupStretchMove",
+    "MTDistGenMove",
+    "DistributionGenerateRJ",
+    "StretchMove",
+    "TemperatureControl",
+    "make_ladder",
+    "TreeGaussianMove",
+    "TreeStretchMove",
+]

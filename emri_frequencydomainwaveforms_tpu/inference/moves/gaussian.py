@@ -80,6 +80,15 @@ class GaussianMove(MHMove):
         self.mode = mode
         self.factor = factor
         self.indx_list = indx_list
+        if isinstance(cov, dict):
+            # branch-keyed covariances (reference multi-branch form): the
+            # sampler lifts this into a TreeGaussianMove
+            self.cov_dict = cov
+            self._chol = None
+            self._scale = None
+            self.ndim_cov = None
+            return
+        self.cov_dict = None
         if np.isscalar(cov):
             self._chol = None
             self._scale = float(np.sqrt(cov))

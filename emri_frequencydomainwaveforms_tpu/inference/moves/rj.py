@@ -32,12 +32,60 @@ import jax.numpy as jnp
 
 
 class DistributionGenerateRJ:
-    """Prior-draw RJ birth/death over a single branch."""
+    """Prior-draw RJ birth/death.
 
-    def __init__(self, prior, nleaves_min: int = 0, nleaves_max: int = 1):
-        self.prior = prior  # ProbDistContainer with .logpdf and unit-cube ppf
+    Two interfaces, matching the reference's evolution:
+    * single-branch arrays via `propose` (``prior`` a ProbDistContainer,
+      ``nleaves_min/max`` ints) — standalone/custom-loop use;
+    * multi-branch trees via `propose_tree` (``prior`` a dict
+      ``branch -> ProbDistContainer``, ``nleaves_min/max`` dicts), the form
+      `EnsembleSampler(rj_moves=...)` consumes: one birth-or-death proposal
+      per walker per branch, branches updated in sequence (Gibbs).
+    """
+
+    def __init__(self, prior, nleaves_min=0, nleaves_max=1):
+        self.prior = prior  # ProbDistContainer (or dict of them, tree mode)
         self.nleaves_min = nleaves_min
         self.nleaves_max = nleaves_max
+
+    def propose_tree(self, key, coords: dict, inds: dict, log_like, log_prior,
+                     betas, logp_fn, logl_fn):
+        """Tree-contract RJ: per-branch birth/death, sequential accepts.
+
+        ``logp_fn(coords, inds)`` / ``logl_fn(coords, inds)`` -> (T, W).
+        Returns (coords, inds, log_like, log_prior, n_accepted).
+        """
+        priors = self.prior if isinstance(self.prior, dict) else {
+            next(iter(coords)): self.prior
+        }
+        n_acc_total = None
+        coords = dict(coords)
+        inds = dict(inds)
+        for name in coords:
+            key, k_b = jax.random.split(key)
+            prior_b = priors[name]
+            lo = self.nleaves_min[name] if isinstance(self.nleaves_min, dict) else self.nleaves_min
+            hi = self.nleaves_max[name] if isinstance(self.nleaves_max, dict) else self.nleaves_max
+            sub = DistributionGenerateRJ(prior_b, nleaves_min=lo, nleaves_max=hi)
+
+            def logl_branch(c_b, i_b, _name=name):
+                c_all = {**coords, _name: c_b}
+                i_all = {**inds, _name: i_b}
+                return logl_fn(c_all, i_all)
+
+            def logp_branch(c_b, i_b, _name=name):
+                c_all = {**coords, _name: c_b}
+                i_all = {**inds, _name: i_b}
+                return logp_fn(c_all, i_all)
+
+            c_new, i_new, log_like, log_prior, n_acc = sub._propose_arrays(
+                k_b, coords[name], inds[name], log_like, log_prior, betas,
+                logl_branch, logp_branch,
+            )
+            coords[name] = c_new
+            inds[name] = i_new
+            n_acc_total = n_acc if n_acc_total is None else n_acc_total + n_acc
+        return coords, inds, log_like, log_prior, n_acc_total
 
     def propose(
         self,
@@ -49,6 +97,12 @@ class DistributionGenerateRJ:
         betas: jax.Array,
         logl_fn: Callable,  # (coords, inds) -> (ntemps, nwalkers)
     ):
+        return self._propose_arrays(
+            key, coords, inds, log_like, log_prior, betas, logl_fn, None
+        )
+
+    def _propose_arrays(self, key, coords, inds, log_like, log_prior, betas,
+                        logl_fn, logp_fn):
         ntemps, nwalkers, nleaves_max, ndim = coords.shape
         k_bd, k_slot, k_draw, k_u = jax.random.split(key, 4)
 
@@ -82,7 +136,10 @@ class DistributionGenerateRJ:
             (do_birth[..., None] & onehot)[..., None], new_leaf[..., None, :], coords
         )
 
-        lp_new = self._leaf_logprior(coords_new, inds_new)
+        if logp_fn is not None:
+            lp_new = logp_fn(coords_new, inds_new)  # full-tree prior
+        else:
+            lp_new = self._leaf_logprior(coords_new, inds_new)
         ll_new = logl_fn(coords_new, inds_new)
         ll_new = jnp.where(jnp.isnan(ll_new), -1e300, ll_new)
 

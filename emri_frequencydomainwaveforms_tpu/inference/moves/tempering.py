@@ -112,6 +112,54 @@ class TemperatureControl:
         swap_frac = jnp.stack(ratios[::-1]) if ratios else jnp.zeros((0,))
         return coords, log_like, log_prior, swap_frac
 
+    def temperature_swaps_tree(self, key, tree, log_like, log_prior, betas):
+        """Swap cascade over an arbitrary state pytree.
+
+        ``tree``: any pytree whose leaves are (ntemps, nwalkers, ...) arrays
+        (multi-branch coords/inds dicts). Same cascade as
+        `temperature_swaps`, applied leaf-wise.
+        """
+        ntemps, nwalkers = log_like.shape
+        ratios = []
+        for i in range(ntemps - 1, 0, -1):
+            key, k_perm1, k_perm2, k_u = jax.random.split(key, 4)
+            if self.permute:
+                p_hot = jax.random.permutation(k_perm1, nwalkers)
+                p_cold = jax.random.permutation(k_perm2, nwalkers)
+            else:
+                p_hot = jnp.arange(nwalkers)
+                p_cold = jnp.arange(nwalkers)
+
+            ll_hot = log_like[i, p_hot]
+            ll_cold = log_like[i - 1, p_cold]
+            dbeta = betas[i - 1] - betas[i]
+            raccept = jnp.log(jax.random.uniform(k_u, (nwalkers,)))
+            sel = raccept < dbeta * (ll_hot - ll_cold)
+            ratios.append(jnp.mean(sel.astype(jnp.float64)))
+
+            def swap_leaf(x, i=i, p_hot=p_hot, p_cold=p_cold, sel=sel):
+                x_hot = x[i, p_hot]
+                x_cold = x[i - 1, p_cold]
+                selb = sel.reshape((nwalkers,) + (1,) * (x.ndim - 2))
+                new_hot = jnp.where(selb, x_cold, x_hot)
+                new_cold = jnp.where(selb, x_hot, x_cold)
+                return x.at[i, p_hot].set(new_hot).at[i - 1, p_cold].set(new_cold)
+
+            tree = jax.tree.map(swap_leaf, tree)
+            lp_hot = log_prior[i, p_hot]
+            lp_cold = log_prior[i - 1, p_cold]
+            log_like = (
+                log_like.at[i, p_hot].set(jnp.where(sel, ll_cold, ll_hot))
+                .at[i - 1, p_cold].set(jnp.where(sel, ll_hot, ll_cold))
+            )
+            log_prior = (
+                log_prior.at[i, p_hot].set(jnp.where(sel, lp_cold, lp_hot))
+                .at[i - 1, p_cold].set(jnp.where(sel, lp_hot, lp_cold))
+            )
+
+        swap_frac = jnp.stack(ratios[::-1]) if ratios else jnp.zeros((0,))
+        return tree, log_like, log_prior, swap_frac
+
     def adapt_ladder(self, betas, swap_frac, time):
         """Vousden et al. adaptation step (reference ``:543-577``).
 

@@ -34,7 +34,8 @@ class UniformDistribution:
         return jnp.exp(self.logpdf(x))
 
     def ppf(self, q):
-        return self.min_val + np.asarray(q) * (self.max_val - self.min_val)
+        # jnp: traceable from jitted samplers (MT candidate draws)
+        return self.min_val + jnp.asarray(q) * (self.max_val - self.min_val)
 
     def rvs(self, size=1, random_state=None):
         rng = np.random.default_rng(random_state) if not isinstance(
@@ -61,7 +62,7 @@ class log_uniform:
         return jnp.where(inside, -jnp.log(x) - self._norm, -jnp.inf)
 
     def ppf(self, q):
-        return self.min_val * (self.max_val / self.min_val) ** np.asarray(q)
+        return self.min_val * (self.max_val / self.min_val) ** jnp.asarray(q)
 
     def rvs(self, size=1, random_state=None):
         rng = np.random.default_rng(random_state) if not isinstance(
