@@ -12,6 +12,7 @@ from .diagnostic import (
 )
 from .likelihood import GlobalLikelihood, Likelihood
 from .noise import generate_noise_fd
+from .tdi import TDIf
 from .sensitivity import (
     AET,
     cornish_lisa_psd,
@@ -42,5 +43,6 @@ __all__ = [
     "noisepsd_AE",
     "noisepsd_T",
     "AET",
+    "TDIf",
     "sensitivity_from_table",
 ]

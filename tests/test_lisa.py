@@ -129,3 +129,93 @@ class TestLikelihood:
     def test_df_vector(self):
         f = jnp.asarray([1.0, 2.0, 4.0, 7.0])
         np.testing.assert_allclose(np.asarray(df_vector(f)), [1, 1, 2, 3])
+
+
+class TestTDIf:
+    """TDIf container vs hand-computed values (reference sensitivity.py:99-371).
+
+    Deviation documented: the reference's ``cprod``/``dotprod``/``logL``
+    scale by ``4/df`` while its own ``normsq`` scales by ``4*df``; the
+    rebuild uses the dimensionally-consistent ``4*df`` everywhere
+    (matching ``diagnostic.inner_product``'s right-rule convention).
+    """
+
+    def _make(self, seed=0):
+        rng = np.random.default_rng(seed)
+        f = np.linspace(1e-3, 1e-2, 64)
+        chans = [
+            rng.standard_normal(64) + 1j * rng.standard_normal(64)
+            for _ in range(3)
+        ]
+        return f, chans
+
+    def test_aet_xyz_roundtrip(self):
+        from emri_frequencydomainwaveforms_tpu.lisa.tdi import TDIf
+
+        f, (X, Y, Z) = self._make()
+        tdi = TDIf.from_xyz(f, X, Y, Z)
+        # AET is the orthogonal map used by the reference AET() (:90)
+        np.testing.assert_allclose(tdi.Af, (Z - X) / np.sqrt(2), rtol=1e-12)
+        np.testing.assert_allclose(
+            tdi.Ef, (X - 2 * Y + Z) / np.sqrt(6), rtol=1e-12
+        )
+        np.testing.assert_allclose(tdi.Tf, (X + Y + Z) / np.sqrt(3), rtol=1e-12)
+        # from_aet inverts back to the same X, Y, Z
+        tdi2 = TDIf.from_aet(f, tdi.Af, tdi.Ef, tdi.Tf)
+        np.testing.assert_allclose(tdi2.Xf, X, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(tdi2.Y[0]), Y.real, atol=1e-12)
+
+    def test_algebra(self):
+        from emri_frequencydomainwaveforms_tpu.lisa.tdi import TDIf
+
+        f, (X, Y, Z) = self._make()
+        a = TDIf.from_xyz(f, X, Y, Z)
+        b = TDIf.from_xyz(f, 2 * X, -Y, 0.5 * Z)
+        np.testing.assert_allclose((a + b).Xf, 3 * X, rtol=1e-12)
+        np.testing.assert_allclose((a - b).Yf if hasattr(a - b, "Yf") else
+                                   np.asarray((a - b).Y[0]) + 1j * np.asarray((a - b).Y[1]),
+                                   2 * Y, rtol=1e-12)
+        np.testing.assert_allclose((2.0 * a).Af, 2 * a.Af, rtol=1e-12)
+        np.testing.assert_allclose((a * b).Xf, X * (2 * X), rtol=1e-12)
+        np.testing.assert_allclose((a / b).Tf, a.Tf / b.Tf, rtol=1e-10)
+
+    def test_normsq_and_logl_hand_computed(self):
+        from emri_frequencydomainwaveforms_tpu.lisa.tdi import TDIf
+        from emri_frequencydomainwaveforms_tpu.lisa.sensitivity import (
+            noisepsd_AE,
+            noisepsd_T,
+        )
+
+        f, (X, Y, Z) = self._make(1)
+        d = TDIf.from_xyz(f, X, Y, Z)
+        df = f[1] - f[0]
+        sae = noisepsd_AE(f)
+        st = noisepsd_T(f)
+        expect = 4.0 * df * (
+            np.sum(np.abs(d.Af) ** 2 / sae)
+            + np.sum(np.abs(d.Ef) ** 2 / sae)
+            + np.sum(np.abs(d.Tf) ** 2 / st)
+        )
+        np.testing.assert_allclose(float(d.normsq()), expect, rtol=1e-10)
+
+        h = TDIf.from_xyz(f, 0.9 * X, 0.9 * Y, 0.9 * Z)
+        np.testing.assert_allclose(
+            float(d.logL(h)), -0.5 * float((d - h).normsq()), rtol=1e-12
+        )
+        # dotprod consistency: <d, d> == normsq
+        np.testing.assert_allclose(
+            float(d.dotprod(d)), float(d.normsq()), rtol=1e-10
+        )
+
+    def test_jit_reductions(self):
+        import jax
+        from emri_frequencydomainwaveforms_tpu.lisa.tdi import TDIf
+
+        f, (X, Y, Z) = self._make(2)
+        d = TDIf.from_xyz(f, X, Y, Z)
+        h = TDIf.from_xyz(f, 0.5 * X, 0.5 * Y, 0.5 * Z)
+        # PSDs precompute host-side (numpy; LISA PSD magnitudes underflow
+        # device f64) and enter the jitted reduction as arrays
+        psd = (d.Sae, d.Sae, d.St)
+        ll = jax.jit(lambda a, b: -0.5 * (a - b).normsq(noisepsd=psd))(d, h)
+        np.testing.assert_allclose(float(ll), float(d.logL(h)), rtol=1e-10)
