@@ -1,4 +1,4 @@
-"""Teukolsky-style mode amplitudes A_lmn(p, e) — quadrupole-order, on the fly.
+"""Multipole mode amplitudes A_lmn(p, e) through l = 4, on the fly.
 
 Replaces the reference engine's amplitude backends
 (``few.amplitude.romannet.RomanAmplitude`` — a CUDA MLP over reduced-order
@@ -6,44 +6,53 @@ Teukolsky data — and ``few.amplitude.interp2dcubicspline.Interp2DAmplitude``;
 call contract pinned at reference ``Tutorial_FD_construction_single_mode.ipynb``
 cells 5, 19, 26: ``amp(p, e, specific_modes=[(l, m, n)]) -> complex A along
 the trajectory``). The upstream Teukolsky datasets are not redistributable,
-so this module computes the amplitudes from first principles at quadrupole
-order over the *exact relativistic orbit* (geodesic r(chi), phi(chi), t(chi)
-from `models.geodesic`), which preserves the full (m, n) harmonic structure
-the FD summation needs. Higher multipoles / calibrated data drop into the
-same interface.
+so this module computes the amplitudes from first principles over the
+*exact relativistic orbit* (geodesic r(chi), phi(chi), t(chi) from
+`models.geodesic`) using the flat-space radiative multipole expansion
+through l = 4 — mass quadrupole/octupole/hexadecapole plus current
+quadrupole/octupole (Thorne 1980 eq. 4.8) — which preserves the full
+(l, m, n) harmonic structure the FD summation needs. Calibrated Teukolsky
+data drops into the same interface when available.
 
-Derivation (equatorial orbit in the x-y plane, observer direction (Th, Ph),
-units G = c = 1, central mass M = 1, reduced mass mu stripped — the
-detector-frame wrapper applies the reference's distance factor
-``(dist Gpc)/(mu MRSUN_SI)``, notebook cell 23):
+Structure (equatorial orbit, G = c = 1, central mass M = 1, reduced mass mu
+and the reference distance factor ``mu MRSUN_SI/(dist Gpc)`` applied by the
+detector-frame wrapper): in the convention
 
-  h = h_+ - i h_x = (1/R) [Qdd_ThTh - Qdd_PhPh - 2 i Qdd_ThPh],
-  Q_ij = mu x_i x_j.
+  h = h_+ - i h_x = sum_{lmn} A_lmn (-2)Y_lm(Th, Ph) e^{-i(m Phi_phi + n Phi_r)},
 
-Expanding the transverse basis in (Th, Ph) and matching e^{i m Ph} terms to
-the spin-weighted harmonics -2Y_2m gives exactly (verified in tests against
-a brute-force TT projection):
+every family reduces to
 
-  h_22   = 2 sqrt(pi/5) (mu/R) conj(u-dd),    u = (x + i y)^2
-  h_2-2  = 2 sqrt(pi/5) (mu/R) u-dd
-  h_20   = - sqrt(8 pi/15) (mu/R) (r^2)-dd
+  A_lmn = C_lm * omega_mn^l * F_n[g_lm],   omega_mn = m Omega_phi + n Omega_r,
 
-On a geodesic, u(t) = g2(t) e^{2 i Omega_phi t} with g2 = r^2 e^{2 i dphi}
-(dphi = phi - Omega_phi t is Omega_r-periodic), so with Fourier series
-g2 = sum_n b_n e^{i n Omega_r t} and r^2 = sum_n d_n e^{i n Omega_r t}:
+with F_n the radial-harmonic Fourier coefficient of the orbit functional
+g_lm over one radial period (all F_n are REAL by the chi -> -chi parity of
+the Darwin orbit) and constants C_lm = K_lm (-i)^l derived EXACTLY from
+Thorne eq. 4.8 by spectral projection (``tools/derive_multipoles.py``;
+residuals ~1e-12, values snap to closed forms):
 
-  A_{2,2,n}  = -2 sqrt(pi/5) (2 Omega_phi + n Omega_r)^2 conj(b_n)
-  A_{2,0,n}  =   sqrt(8 pi/15) n^2 Omega_r^2 conj(d_n)      (n >= 1)
+  family  g_lm            C_lm
+  (2,2)   r^2 e^{2i dphi}   -2 sqrt(pi/5)
+  (2,0)   r^2               +sqrt(8 pi/15)
+  (2,1)   l r e^{i dphi}    +i sqrt(64 pi/45)     (current quadrupole)
+  (3,3)   r^3 e^{3i dphi}   -i sqrt(2 pi/189)
+  (3,1)   r^3 e^{i dphi}    +i sqrt(2 pi/315)
+  (3,2)   l r^2 e^{2i dphi} -sqrt(pi/63)          (current octupole)
+  (3,0)   l r^2             +sqrt(2 pi/105)
+  (4,4)   r^4 e^{4i dphi}   +sqrt(pi/9072)
+  (4,2)   r^4 e^{2i dphi}   -sqrt(pi/15876)
+  (4,0)   r^4               +sqrt(pi/17640)
 
-in the convention  h = sum_{lmn} A_lmn * (-2)Y_lm(Th, Ph) * e^{-i(m Phi_phi
-+ n Phi_r)}  (reference notebook cell 5/23), with the negative-m partners
-fixed by the equatorial symmetry  A_{l,-m,-n} = (-1)^l conj(A_{l,m,n}).
+with l(t) = r^2 dphi/dt the specific angular momentum and dphi = phi -
+Omega_phi t the periodic azimuth. Negative-m partners follow from the
+standard planar-system symmetry A_{l,-m,-n} = (-1)^l conj(A_{l,m,n}) for
+ALL families: the current families' purely imaginary C_lm supply the
+(-1)^{l+1} z-parity of B-type radiation under conjugation.
 
 The Fourier projections are spectrally-convergent trapezoid sums over the
 Darwin angle, evaluated in f32 end-to-end (amplitude precision ~1e-6
 relative — orders below the 1e-4 mismatch gate; waveform PHASES never pass
 through this module): the periodic antiderivatives t(chi), phi(chi) and the
-(knots, chi) x (chi, harmonics) projection are batched f32 matmuls at
+(knots, rows) x (rows, harmonics) projection are batched f32 matmuls at
 ``Precision.HIGHEST`` — MXU-shaped, where the earlier f64 path paid the
 ~20x emulation tax that made amplitudes the prologue bottleneck on v5e.
 """
@@ -61,6 +70,22 @@ from .geodesic import _N_CHI, _antiderivative_matrix, darwin_orbit
 
 _SQRT_PI_5 = float(np.sqrt(np.pi / 5.0))
 _SQRT_8PI_15 = float(np.sqrt(8.0 * np.pi / 15.0))
+
+# (l, m) -> (azimuthal k of g_lm, r power, ell power, C_re, C_im); see
+# module docstring + tools/derive_multipoles.py
+_FAMILIES = {
+    (2, 2): (2, 2, 0, -2.0 * np.sqrt(np.pi / 5.0), 0.0),
+    (2, 0): (0, 2, 0, +np.sqrt(8.0 * np.pi / 15.0), 0.0),
+    (2, 1): (1, 1, 1, 0.0, +np.sqrt(64.0 * np.pi / 45.0)),
+    (3, 3): (3, 3, 0, 0.0, -np.sqrt(2.0 * np.pi / 189.0)),
+    (3, 1): (1, 3, 0, 0.0, +np.sqrt(2.0 * np.pi / 315.0)),
+    (3, 2): (2, 2, 1, -np.sqrt(np.pi / 63.0), 0.0),
+    (3, 0): (0, 2, 1, +np.sqrt(2.0 * np.pi / 105.0), 0.0),
+    (4, 4): (4, 4, 0, +np.sqrt(np.pi / 9072.0), 0.0),
+    (4, 2): (2, 4, 0, -np.sqrt(np.pi / 15876.0), 0.0),
+    (4, 0): (0, 4, 0, +np.sqrt(np.pi / 17640.0), 0.0),
+}
+_FAMILY_ORDER = list(_FAMILIES)
 
 
 class ModeTable(NamedTuple):
@@ -80,33 +105,35 @@ class ModeTable(NamedTuple):
         return len(self.ls)
 
 
-def default_mode_table(n_max: int = 30) -> ModeTable:
-    """Quadrupole inventory: (2,2,n) for n in [-n_max, n_max], (2,0,n) n>=1."""
+def default_mode_table(n_max: int = 30, l_max: int = 4) -> ModeTable:
+    """Multipole inventory through ``l_max`` (families in _FAMILIES).
+
+    m > 0 families carry n in [-n_max, n_max]; m = 0 families carry
+    n in [1, n_max] (their negative-n partners follow from reality).
+    """
     ls, ms, ns = [], [], []
-    for n in range(-n_max, n_max + 1):
-        ls.append(2)
-        ms.append(2)
-        ns.append(n)
-    for n in range(1, n_max + 1):
-        ls.append(2)
-        ms.append(0)
-        ns.append(n)
+    for (l, m) in _FAMILY_ORDER:
+        if l > l_max:
+            continue
+        n_range = range(1, n_max + 1) if m == 0 else range(-n_max, n_max + 1)
+        for n in n_range:
+            ls.append(l)
+            ms.append(m)
+            ns.append(n)
     return ModeTable(np.array(ls), np.array(ms), np.array(ns))
 
 
 def _orbit_harmonics(p, e, n_max: int):
-    """Fourier coefficients of the orbital multipoles for a batch of knots.
+    """Fourier coefficients F_n[g_lm] of every multipole family per knot.
 
     ``p``, ``e``: any shape, flattened internally to a (BK,) batch. Returns
-    f32 arrays ``b_re``, ``b_im`` of shape (..., 2*n_max+1) indexed by
-    n = -n_max..n_max (coefficients of g2 = r^2 e^{2 i dphi}), ``d_re``,
-    ``d_im`` of shape (..., n_max+1) for n = 0..n_max (coefficients of r^2;
-    d_{-n} = conj(d_n)), plus (omega_phi, omega_r) f32 of shape (...,).
+    ``f_fam`` f32 of shape (..., n_families, 2*n_max+1) indexed by
+    (family order of _FAMILIES, n = -n_max..n_max), plus (omega_phi,
+    omega_r) f32 of shape (...,). All coefficients are real (chi-parity;
+    module docstring).
 
-    b_{+-n} = sum_j w_j (g_re + i g_im)(chi_j) e^{-+ i n theta_j} with
-    theta = Omega_r t(chi) and w the dt/dchi quadrature weights: one batched
-    (3, n_chi) @ (n_chi, 2(n_max+1)) f32 matmul per knot serves every
-    harmonic of every multipole at once.
+    One batched (rows, n_chi) x (n_chi, 2(n_max+1)) f32 matmul per knot
+    serves every harmonic of every family at once.
     """
     shape = np.shape(p)
     f32 = jnp.float32
@@ -154,10 +181,22 @@ def _orbit_harmonics(p, e, n_max: int):
     # and the chi coefficient vanishes identically (omega_phi = phi_mean /
     # t_mean), so assemble from the SMALL parts only
     dphi = phi_per - omega_phi * t_per
-    r2 = r * r
-    g_re = r2 * jnp.cos(2.0 * dphi)
-    g_im = r2 * jnp.sin(2.0 * dphi)
     w = dt_dchi * (h / t_r)  # sums to 1
+
+    # orbit functional building blocks: r powers, specific angular momentum
+    # l = r^2 dphi/dt, and cos/sin(k dphi) by Chebyshev-style recurrence
+    r2 = r * r
+    r3 = r2 * r
+    r4 = r2 * r2
+    ell = r2 * dphi_dchi / dt_dchi
+    c1, s1 = jnp.cos(dphi), jnp.sin(dphi)
+    ck = {0: (jnp.ones_like(c1), jnp.zeros_like(s1)), 1: (c1, s1)}
+    for k in (2, 3, 4):
+        cprev, sprev = ck[k - 1]
+        ck[k] = (cprev * c1 - sprev * s1, sprev * c1 + cprev * s1)
+    fvals = {
+        (2, 0): r2, (1, 1): ell * r, (3, 0): r3, (2, 1): ell * r2, (4, 0): r4
+    }
 
     # harmonic basis e^{-i n theta}, theta = Omega_r t(chi) = chi + theta_per
     # with theta_per = t_per / t_mean (|.| < ~2 pi e, exact split since
@@ -189,39 +228,60 @@ def _orbit_harmonics(p, e, n_max: int):
     cs = jnp.concatenate(
         [cos_a * cos_b - sin_a * sin_b, sin_a * cos_b + cos_a * sin_b], axis=-1
     )
-    # subtract each integrand's DC before projecting: the n=0 component is
-    # ~30x the rest and residual basis-phase noise couples it into every
-    # harmonic; means contribute exactly delta_{n0} and are restored below
-    m_g_re = jnp.sum(w * g_re, axis=-1, keepdims=True)
-    m_g_im = jnp.sum(w * g_im, axis=-1, keepdims=True)
-    m_r2 = jnp.sum(w * r2, axis=-1, keepdims=True)
-    integ = jnp.stack(
-        [w * (g_re - m_g_re), w * (g_im - m_g_im), w * (r2 - m_r2)], axis=1
-    )  # (BK, 3, n_chi)
+    # One integrand row pair per family: f cos(k dphi) and (k > 0 only)
+    # f sin(k dphi). By the chi -> -chi parity of the Darwin orbit the
+    # coefficients F_n = sum w f e^{i(k dphi - n theta)} are REAL:
+    # F_{+-n} = sum w f cos(k dphi) cos(n theta) +- sum w f sin(k dphi)
+    # sin(n theta). Cos rows have their DC subtracted before projection (the
+    # n=0 component is ~30x the rest and residual basis-phase noise couples
+    # it into every harmonic; the mean contributes exactly delta_{n0} and is
+    # restored after); sin-row DCs vanish by parity.
+    rows = []
+    row_meta = []  # (family_index, which: 0 cos / 1 sin)
+    means = []
+    for fi, (lm, (k, rp, lp, _, _)) in enumerate(_FAMILIES.items()):
+        f_vals = fvals[(rp, lp)]
+        ckk, skk = ck[k]
+        fc = f_vals * ckk
+        mc = jnp.sum(w * fc, axis=-1, keepdims=True)
+        rows.append(w * (fc - mc))
+        row_meta.append((fi, 0))
+        means.append(mc)
+        if k > 0:
+            rows.append(w * (f_vals * skk))
+            row_meta.append((fi, 1))
+    integ = jnp.stack(rows, axis=1)  # (BK, n_rows, n_chi)
     proj = jax.lax.dot_general(
         integ, cs, (((2,), (1,)), ((0,), (0,))),
         precision=jax.lax.Precision.HIGHEST,
-    )  # (BK, 3, 2(n_max+1))
+    )  # (BK, n_rows, 2(n_max+1))
 
     np1 = n_max + 1
     dc = jnp.concatenate([jnp.ones((1,), f32), jnp.zeros((np1 - 1,), f32)])[None, :]
-    wgc, wgs = proj[:, 0, :np1] + m_g_re * dc, proj[:, 0, np1:]
-    wic, wis = proj[:, 1, :np1] + m_g_im * dc, proj[:, 1, np1:]
-    wrc, wrs = proj[:, 2, :np1] + m_r2 * dc, proj[:, 2, np1:]
-
-    b_re = jnp.concatenate([(wgc - wis)[:, 1:][:, ::-1], wgc + wis], axis=-1)
-    b_im = jnp.concatenate([(wic + wgs)[:, 1:][:, ::-1], wic - wgs], axis=-1)
-    d_re = wrc
-    d_im = -wrs
+    n_fam = len(_FAMILIES)
+    cos_part = [None] * n_fam
+    sin_part = [jnp.zeros_like(proj[:, 0, np1:])] * n_fam
+    mi = 0
+    for ri, (fi, which) in enumerate(row_meta):
+        if which == 0:
+            cos_part[fi] = proj[:, ri, :np1] + means[mi] * dc
+            mi += 1
+        else:
+            sin_part[fi] = proj[:, ri, np1:]
+    f_all = []
+    for fi in range(n_fam):
+        wc, ws = cos_part[fi], sin_part[fi]
+        # n = -n_max..-1 (reversed wc - ws tail), then 0..n_max (wc + ws)
+        f_all.append(
+            jnp.concatenate([(wc - ws)[:, 1:][:, ::-1], wc + ws], axis=-1)
+        )
+    f_fam = jnp.stack(f_all, axis=1)  # (BK, n_fam, 2 n_max + 1)
 
     def unflatten(x):
         return jnp.reshape(x, shape + x.shape[1:])
 
     return (
-        unflatten(b_re),
-        unflatten(b_im),
-        unflatten(d_re),
-        unflatten(d_im),
+        unflatten(f_fam),
         unflatten(omega_phi[:, 0]),
         unflatten(omega_r[:, 0]),
     )
@@ -233,40 +293,40 @@ def mode_amplitudes(
     """A_lmn(p, e) for every mode in ``table`` -> (re, im), shape (..., n_modes).
 
     ``p``/``e`` may be arrays (trajectory knots, batches); the mode axis is
-    appended last. Requires ``table`` to be within quadrupole coverage
-    (l = 2, m in {0, 2}); other modes return 0 (the interface accepts the
+    appended last. Covers every (l, m) family in ``_FAMILIES`` (l <= 4 mass
+    + current multipoles); other modes return 0 (the interface accepts the
     full generic inventory so richer amplitude backends can swap in).
     """
     n_max = int(np.max(np.abs(table.ns))) if table.num_modes else 0
-    b_re, b_im, d_re_all, d_im_all, omega_phi, omega_r = _orbit_harmonics(p, e, n_max)
+    f_fam, omega_phi, omega_r = _orbit_harmonics(p, e, n_max)
 
-    n_idx_b = table.ns + n_max  # index into n=-n_max..n_max axis
-    is_m2 = (table.ls == 2) & (table.ms == 2)
-    is_m0 = (table.ls == 2) & (table.ms == 0) & (table.ns >= 1)
-
-    # gather b_n for each mode (static indices: compiles to a slice-select)
-    bn_re = jnp.take(b_re, jnp.asarray(n_idx_b), axis=-1)
-    bn_im = jnp.take(b_im, jnp.asarray(n_idx_b), axis=-1)
-    n_f = jnp.asarray(table.ns.astype(np.float32))
-    omega_mn = 2.0 * omega_phi[..., None] + n_f * omega_r[..., None]
-    fac22 = -2.0 * _SQRT_PI_5 * omega_mn * omega_mn
-    a22_re = fac22 * bn_re
-    a22_im = -fac22 * bn_im  # conj(b_n)
-
-    # m=0: A = sqrt(8pi/15) n^2 Omega_r^2 conj(d_n), n>=1
-    dn_idx = np.clip(table.ns, 0, n_max)
-    d_re = jnp.take(d_re_all, jnp.asarray(dn_idx), axis=-1)
-    d_im = jnp.where(
-        jnp.asarray(table.ns >= 1),
-        jnp.take(d_im_all, jnp.asarray(dn_idx), axis=-1),
-        0.0,
+    # static per-mode bookkeeping (host numpy; compiles to slice-selects)
+    fam_lookup = {lm: i for i, lm in enumerate(_FAMILY_ORDER)}
+    fam_idx = np.array(
+        [fam_lookup.get((int(l), int(m)), -1) for l, m in zip(table.ls, table.ms)]
     )
-    fac20 = _SQRT_8PI_15 * (n_f * omega_r[..., None]) ** 2
-    a20_re = fac20 * d_re
-    a20_im = -fac20 * d_im
+    known = fam_idx >= 0
+    fam_idx_safe = np.where(known, fam_idx, 0)
+    n_idx = table.ns + n_max
+    c_re = np.array([_FAMILIES[lm][3] for lm in _FAMILY_ORDER])[fam_idx_safe]
+    c_im = np.array([_FAMILIES[lm][4] for lm in _FAMILY_ORDER])[fam_idx_safe]
+    c_re = np.where(known, c_re, 0.0)
+    c_im = np.where(known, c_im, 0.0)
 
-    re = jnp.where(jnp.asarray(is_m2), a22_re, jnp.where(jnp.asarray(is_m0), a20_re, 0.0))
-    im = jnp.where(jnp.asarray(is_m2), a22_im, jnp.where(jnp.asarray(is_m0), a20_im, 0.0))
+    # F_n gather: one fancy-index over the static (family, n) pairs
+    f_sel = f_fam[..., jnp.asarray(fam_idx_safe), jnp.asarray(n_idx)]  # (..., M)
+
+    m_f = jnp.asarray(table.ms.astype(np.float32))
+    n_f = jnp.asarray(table.ns.astype(np.float32))
+    omega_mn = m_f * omega_phi[..., None] + n_f * omega_r[..., None]
+    # omega^l with possibly negative omega (l is a static integer per mode)
+    w2 = omega_mn * omega_mn
+    ls = jnp.asarray(table.ls)
+    pw = jnp.where(ls == 2, w2, jnp.where(ls == 3, w2 * omega_mn, w2 * w2))
+
+    a = pw * f_sel
+    re = jnp.asarray(c_re, jnp.float32) * a
+    im = jnp.asarray(c_im, jnp.float32) * a
     # downstream (spline fits, FD/TD kernels) runs f64; values carry f32
     # accuracy (~1e-6 relative), orders below the 1e-4 mismatch gate
     dt = jnp.asarray(p).dtype

@@ -133,6 +133,11 @@ def waveform_prologue(
 
 
 def _sigma(table: ModeTable) -> jax.Array:
+    # equatorial partner symmetry A_{l,-m,-n} = (-1)^l conj(A_{lmn}) — the
+    # standard planar-system relation, which holds for mass AND current
+    # families (the current families' imaginary projection constants carry
+    # the extra parity; validated mode-by-mode against the Thorne-4.8
+    # brute force in tests/test_amplitude.py)
     return jnp.asarray(((-1.0) ** table.ls).astype(np.float64))
 
 

@@ -52,11 +52,12 @@ class TestYlm:
         np.testing.assert_allclose(out, direct, rtol=1e-13)
 
 
-def _reconstruct_h(p, e, theta, phi, t_grid, n_max=30):
+def _reconstruct_h(p, e, theta, phi, t_grid, n_max=30, table=None):
     """h from the A_lmn Ylm e^{-i(m Phiphi + n Phir)} mode decomposition."""
     om_phi, om_r = fundamental_frequencies(jnp.asarray(p), jnp.asarray(e))
     om_phi, om_r = float(om_phi), float(om_r)
-    table = default_mode_table(n_max)
+    if table is None:
+        table = default_mode_table(n_max)
     a_re, a_im = mode_amplitudes(jnp.asarray(p), jnp.asarray(e), table)
     amps = np.asarray(a_re) + 1j * np.asarray(a_im)
 
@@ -64,76 +65,100 @@ def _reconstruct_h(p, e, theta, phi, t_grid, n_max=30):
     for i, (l, m, n) in enumerate(zip(table.ls, table.ms, table.ns)):
         ylm = GetYlms()(np.array([l, l]), np.array([m, -m]), theta, phi)
         phase = (m * om_phi + n * om_r) * t_grid
+        sigma = (-1.0) ** l  # planar symmetry (holds for all families)
         h += amps[i] * ylm[0] * np.exp(-1j * phase)
         if m > 0:  # equatorial-symmetry partner (l,-m,-n)
-            h += ((-1) ** l) * np.conj(amps[i]) * ylm[1] * np.exp(1j * phase)
-        elif m == 0:  # m=0 partner is (l,0,-n)
-            h += np.conj(amps[i]) * ylm[0] * np.exp(1j * phase)
+            h += sigma * np.conj(amps[i]) * ylm[1] * np.exp(1j * phase)
+        elif m == 0:  # m=0 partner is (l,0,-n) = sigma conj(A_{l,0,n})
+            h += sigma * np.conj(amps[i]) * ylm[0] * np.exp(1j * phase)
     return h
 
 
-def _brute_force_h(p, e, theta, phi, t_grid):
-    """TT quadrupole waveform by finite differences along the exact orbit."""
-    orbit = darwin_orbit(jnp.asarray(p), jnp.asarray(e), n_chi=1024)
-    t_orb = np.asarray(orbit["t"])
-    phi_orb = np.asarray(orbit["phi"])
-    r_orb = np.asarray(orbit["r"])
-    t_r = float(orbit["T_r"])
-    dphi_tot = float(orbit["Dphi"])
+from tests.helpers_thorne import thorne_h  # noqa: E402
 
-    # tile 5 radial periods and spline (periodic orbit, secular azimuth)
-    from scipy.interpolate import CubicSpline
 
-    ts, rs, phis = [], [], []
-    for k in range(-2, 3):
-        ts.append(t_orb + k * t_r)
-        rs.append(r_orb)
-        phis.append(phi_orb + k * dphi_tot)
-    ts = np.concatenate(ts)
-    rs = np.concatenate(rs)
-    phis = np.concatenate(phis)
-    r_sp = CubicSpline(ts, rs)
-    phi_sp = CubicSpline(ts, phis)
+def _family_table(pairs, n_max=20):
+    ls, ms, ns = [], [], []
+    for (l, m) in pairs:
+        rng = range(1, n_max + 1) if m == 0 else range(-n_max, n_max + 1)
+        for n in rng:
+            ls.append(l)
+            ms.append(m)
+            ns.append(n)
+    return ModeTable(np.array(ls), np.array(ms), np.array(ns))
 
-    dt = t_r / 4096.0
-    x = r_sp(t_grid[None, :] + dt * np.array([-1, 0, 1])[:, None]) * np.cos(
-        phi_sp(t_grid[None, :] + dt * np.array([-1, 0, 1])[:, None])
-    )
-    y = r_sp(t_grid[None, :] + dt * np.array([-1, 0, 1])[:, None]) * np.sin(
-        phi_sp(t_grid[None, :] + dt * np.array([-1, 0, 1])[:, None])
-    )
 
-    def ddot(q):
-        return (q[0] - 2 * q[1] + q[2]) / dt**2
+class TestMultipoleAmplitudes:
+    """Mode decomposition vs the independent Thorne-4.8 brute force.
 
-    qxx = ddot(x * x)
-    qyy = ddot(y * y)
-    qxy = ddot(x * y)
+    Ground truth (tests/helpers_thorne.py) assembles the TT waveform from
+    STF moments of the exact geodesic, sharing only the orbit with the
+    production amplitude code — every constant, sign, and partner
+    convention of every (l, m) family is pinned at once.
+    """
 
-    ct, st = np.cos(theta), np.sin(theta)
-    cp, sp = np.cos(phi), np.sin(phi)
-    # w = e_theta - i e_phi; h = (1/R) w^i w^j Qdd_ij (mu/R stripped)
-    wx = ct * cp + 1j * sp
-    wy = ct * sp - 1j * cp
-    return wx * wx * qxx + 2 * wx * wy * qxy + wy * wy * qyy
+    P, E = 10.0, 0.3
+
+    def _grid(self):
+        orbit = darwin_orbit(jnp.asarray(self.P), jnp.asarray(self.E))
+        t_r = float(orbit["T_r"])
+        return np.linspace(0.13 * t_r, 2.6 * t_r, 40)
+
+    def test_quadrupole_family(self):
+        t_grid = self._grid()
+        table = default_mode_table(30, l_max=2)
+        # l_max=2 table includes (2,1): compare against T1 + T3
+        for theta, phi in [(0.8, 0.3), (2.2, 4.0), (1.5707, 1.0)]:
+            h_modes = _reconstruct_h(self.P, self.E, theta, phi, t_grid, table=table)
+            h_direct = thorne_h(self.P, self.E, theta, phi, t_grid, terms=("T1", "T3"))
+            scale = np.max(np.abs(h_direct))
+            # 2e-4: f32 amplitude pipeline noise floor over ~150 modes; a
+            # convention error (sign/normalization/phase) would be O(1)
+            np.testing.assert_allclose(h_modes / scale, h_direct / scale, atol=2e-4)
+
+    def test_full_l4_inventory(self):
+        t_grid = self._grid()
+        table = default_mode_table(30, l_max=4)
+        for theta, phi in [(0.8, 0.3), (1.9, 2.2)]:
+            h_modes = _reconstruct_h(self.P, self.E, theta, phi, t_grid, table=table)
+            h_direct = thorne_h(self.P, self.E, theta, phi, t_grid)
+            scale = np.max(np.abs(h_direct))
+            np.testing.assert_allclose(h_modes / scale, h_direct / scale, atol=3e-4)
+
+    def test_octupole_family(self):
+        t_grid = self._grid()
+        table = _family_table([(3, 3), (3, 1)])
+        h_modes = _reconstruct_h(self.P, self.E, 0.9, 1.1, t_grid, table=table)
+        h_direct = thorne_h(self.P, self.E, 0.9, 1.1, t_grid, terms=("T2",))
+        scale = np.max(np.abs(h_direct))
+        np.testing.assert_allclose(h_modes / scale, h_direct / scale, atol=2e-4)
+
+    def test_current_quadrupole_family(self):
+        t_grid = self._grid()
+        table = _family_table([(2, 1)])
+        h_modes = _reconstruct_h(self.P, self.E, 0.7, 0.4, t_grid, table=table)
+        h_direct = thorne_h(self.P, self.E, 0.7, 0.4, t_grid, terms=("T3",))
+        scale = np.max(np.abs(h_direct))
+        np.testing.assert_allclose(h_modes / scale, h_direct / scale, atol=2e-4)
+
+    def test_hexadecapole_family(self):
+        t_grid = self._grid()
+        table = _family_table([(4, 4), (4, 2), (4, 0)])
+        h_modes = _reconstruct_h(self.P, self.E, 1.2, 2.5, t_grid, table=table)
+        h_direct = thorne_h(self.P, self.E, 1.2, 2.5, t_grid, terms=("T4",))
+        scale = np.max(np.abs(h_direct))
+        np.testing.assert_allclose(h_modes / scale, h_direct / scale, atol=2e-4)
+
+    def test_current_octupole_family(self):
+        t_grid = self._grid()
+        table = _family_table([(3, 2), (3, 0)])
+        h_modes = _reconstruct_h(self.P, self.E, 2.0, 3.3, t_grid, table=table)
+        h_direct = thorne_h(self.P, self.E, 2.0, 3.3, t_grid, terms=("T5",))
+        scale = np.max(np.abs(h_direct))
+        np.testing.assert_allclose(h_modes / scale, h_direct / scale, atol=2e-4)
 
 
 class TestQuadrupoleAmplitudes:
-    def test_mode_sum_matches_brute_force(self):
-        p, e = 10.0, 0.3
-        orbit = darwin_orbit(jnp.asarray(p), jnp.asarray(e))
-        t_r = float(orbit["T_r"])
-        t_grid = np.linspace(0.13 * t_r, 2.6 * t_r, 40)
-        for theta, phi in [(0.8, 0.3), (2.2, 4.0), (1.5707, 1.0)]:
-            h_modes = _reconstruct_h(p, e, theta, phi, t_grid)
-            h_direct = _brute_force_h(p, e, theta, phi, t_grid)
-            scale = np.max(np.abs(h_direct))
-            # 2e-4: the amplitude pipeline runs in f32 (MXU projections);
-            # summing all 92 modes accumulates the per-mode f32 noise floor,
-            # concentrated in harmonics whose true amplitude is ~1e-12 of
-            # peak (backend-dependent: ~3e-5 on TPU, ~9e-5 on CPU). A
-            # convention error (sign/normalization/phase) would be O(1).
-            np.testing.assert_allclose(h_modes / scale, h_direct / scale, atol=2e-4)
 
     def test_circular_limit(self):
         # e -> 0: only n=0 of (2,2) survives; |A| = 2 sqrt(pi/5) (2 Om)^2 p^2

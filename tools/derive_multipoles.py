@@ -1,0 +1,347 @@
+"""Derive the l<=4 multipole projection constants K_lm (one-time tool).
+
+Method: Thorne 1980 eq. (4.8) gives the radiative field as contractions of
+time-derivatives of the source's mass/current multipole moments with the
+line-of-sight N (G = c = 1, prefactor 1/D):
+
+  h_jk^TT = [ 2 Mdd_jk + (2/3) Mddd_jkl N_l + (8/3) eps_pq(j Sdd_k)p N_q
+              + (1/6) Mdddd_jklm N_l N_m + eps_pq(j Sddd_k)pl N_q N_l ]^TT
+
+Contracting with the null polarization vector w = e_Theta - i e_Phi
+(h = h_+ - i h_x = w^j w^k h_jk) kills every delta term (w.w = w.N = 0),
+so RAW moments (mu x_j x_k, mu x_j x_k x_l, (L_j x_k + L_k x_j)/2, ...)
+can be used — no STF bookkeeping survives the contraction.
+
+Every tensor component of the moments is represented EXACTLY as a torus
+Fourier series: a dict {m_azimuthal: periodic array over the Darwin angle}
+whose products convolve over m, and whose (m, n) harmonic coefficients
+u_mn multiply by (i omega_mn)^L under d^L/dt^L. The assembled h(t) is
+therefore spectrally exact — no finite-difference noise — and the posited
+mode structure
+
+  A_lmn = K_lm * (-i omega_mn)^l * F_n[g_lm],
+
+with F_n the production Fourier convention and g_lm the orbit functional
+(r^3 e^{3 i dphi} for (3,3), l r e^{i dphi} for (2,1), ...), is fit for
+the single complex constant K_lm per family by exact linear projection.
+Recovered constants snap to closed forms printed at the end; they are
+hard-coded in models/amplitude.py.
+
+Run: python tools/derive_multipoles.py
+"""
+
+import numpy as np
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import emri_frequencydomainwaveforms_tpu  # noqa: F401
+from emri_frequencydomainwaveforms_tpu.models.geodesic import darwin_orbit
+
+N_CHI = 2048
+N_MAX = 40
+
+
+def orbit_data(p, e):
+    orb = darwin_orbit(np.float64(p), np.float64(e), n_chi=N_CHI)
+    chi = np.asarray(orb["chi"])
+    r = np.asarray(orb["r"])
+    t = np.asarray(orb["t"])
+    phi = np.asarray(orb["phi"])
+    t_r = float(orb["T_r"])
+    dphi = float(orb["Dphi"])
+    om_r = 2 * np.pi / t_r
+    om_phi = dphi / t_r
+    dphi_per = phi - om_phi * t  # periodic azimuth
+    # quadrature weights: (dt/dchi) dchi / T_r (sums to 1)
+    ecos = e * np.cos(chi)
+    rad = p - 6.0 - 2.0 * ecos
+    dt_dchi = (
+        p * p * np.sqrt((p - 2.0) ** 2 - 4.0 * e * e)
+        / ((p - 2.0 - 2.0 * ecos) * (1.0 + ecos) ** 2 * np.sqrt(rad))
+    )
+    w = dt_dchi * (2 * np.pi / N_CHI) / t_r
+    ell = r**2 * np.sqrt(p / rad) / dt_dchi * (2 * np.pi / N_CHI) / (2 * np.pi / N_CHI)
+    # l = r^2 dphi/dt = r^2 (dphi/dchi)/(dt/dchi)
+    ell = r**2 * np.sqrt(p / rad) / dt_dchi
+    theta_r = om_r * t  # radial angle
+    return dict(r=r, dphi=dphi_per, w=w, th=theta_r, om_r=om_r, om_phi=om_phi, ell=ell)
+
+
+class Torus:
+    """Scalar functional on the orbital torus: {m: periodic array(chi)}."""
+
+    def __init__(self, comps):
+        self.c = dict(comps)
+
+    def __mul__(self, other):
+        if isinstance(other, Torus):
+            out = {}
+            for m1, a in self.c.items():
+                for m2, b in other.c.items():
+                    out[m1 + m2] = out.get(m1 + m2, 0) + a * b
+            return Torus(out)
+        return Torus({m: a * other for m, a in self.c.items()})
+
+    __rmul__ = __mul__
+
+    def __add__(self, other):
+        out = dict(self.c)
+        for m, a in other.c.items():
+            out[m] = out.get(m, 0) + a
+        return Torus(out)
+
+    def __sub__(self, other):
+        return self + (-1.0) * other
+
+    def coeffs(self, od):
+        """(m, n) harmonic table: C(t) = sum u[m][n] e^{i(m om_phi + n om_r) t}."""
+        basis = np.exp(-1j * np.arange(-N_MAX, N_MAX + 1)[:, None] * od["th"][None, :])
+        return {
+            m: (basis * (od["w"] * g)[None, :]).sum(axis=1) for m, g in self.c.items()
+        }
+
+
+def h_of_t(coeff_tables, od, t_grid, deriv_orders):
+    """Sum_{m,n} (i om_mn)^L u_mn e^{i om_mn t} for each (table, L) pair."""
+    ns = np.arange(-N_MAX, N_MAX + 1)
+    out = np.zeros(len(t_grid), dtype=complex)
+    for tab, L in zip(coeff_tables, deriv_orders):
+        for m, u in tab.items():
+            om = m * od["om_phi"] + ns * od["om_r"]
+            fac = (1j * om) ** L * u
+            out += (fac[None, :] * np.exp(1j * om[None, :] * t_grid[:, None])).sum(axis=1)
+    return out
+
+
+def brute_force_terms(p, e, theta, phi_v, t_grid):
+    """Each Thorne-4.8 term's h(t) = (1/2) w^j w^k [term]_jk, spectrally exact.
+
+    Full STF moments (the trace corrections with both free indices on N
+    survive the null contraction for l=4, so raw moments are NOT enough).
+    The 1/2 casts w^j w^k h_jk = h_TT,ThTh - h_PhPh - 2i h_ThPh onto
+    h_+ - i h_x.
+    """
+    od = orbit_data(p, e)
+    r = od["r"]
+    dphi = od["dphi"]
+    ell = od["ell"]
+    E = np.exp(1j * dphi)
+
+    zero = Torus({})
+    xv = {
+        "x": Torus({+1: 0.5 * r * E, -1: 0.5 * r * np.conj(E)}),
+        "y": Torus({+1: -0.5j * r * E, -1: +0.5j * r * np.conj(E)}),
+        "z": zero,
+    }
+    Lv = {"x": zero, "y": zero, "z": Torus({0: ell})}
+    rsq = Torus({0: r * r})
+    AX = "xyz"
+
+    def delta(a, b):
+        return 1.0 if a == b else 0.0
+
+    ct, st = np.cos(theta), np.sin(theta)
+    cp, sp = np.cos(phi_v), np.sin(phi_v)
+    w = {"x": ct * cp + 1j * sp, "y": ct * sp - 1j * cp, "z": -st}
+    N = {"x": st * cp, "y": st * sp, "z": ct}
+    eps = {}
+    for i, a in enumerate(AX):
+        for j, b in enumerate(AX):
+            for k, c in enumerate(AX):
+                eps[a + b + c] = ((i - j) * (j - k) * (k - i)) / 2.0
+
+    # ---- STF moments as Torus dicts ----
+    M2 = {(j, k): xv[j] * xv[k] - (delta(j, k) / 3.0) * rsq for j in AX for k in AX}
+    M3 = {}
+    for j in AX:
+        for k in AX:
+            for l in AX:
+                M3[(j, k, l)] = xv[j] * xv[k] * xv[l] - (1.0 / 5.0) * (
+                    delta(j, k) * (rsq * xv[l])
+                    + delta(j, l) * (rsq * xv[k])
+                    + delta(k, l) * (rsq * xv[j])
+                )
+    S2 = {
+        (k, pp): 0.5 * (Lv[k] * xv[pp]) + 0.5 * (Lv[pp] * xv[k])
+        for k in AX
+        for pp in AX
+    }
+    M4 = {}
+    for j in AX:
+        for k in AX:
+            for l in AX:
+                for mm in AX:
+                    raw = xv[j] * xv[k] * xv[l] * xv[mm]
+                    tr1 = (1.0 / 7.0) * (
+                        delta(j, k) * (rsq * (xv[l] * xv[mm]))
+                        + delta(j, l) * (rsq * (xv[k] * xv[mm]))
+                        + delta(j, mm) * (rsq * (xv[k] * xv[l]))
+                        + delta(k, l) * (rsq * (xv[j] * xv[mm]))
+                        + delta(k, mm) * (rsq * (xv[j] * xv[l]))
+                        + delta(l, mm) * (rsq * (xv[j] * xv[k]))
+                    )
+                    tr2 = (1.0 / 35.0) * (
+                        delta(j, k) * delta(l, mm)
+                        + delta(j, l) * delta(k, mm)
+                        + delta(j, mm) * delta(k, l)
+                    ) * (rsq * rsq)
+                    M4[(j, k, l, mm)] = raw - tr1 + tr2
+    # current octupole: sym3(L x x) with traces removed; Tr_i = (1/3) l r^2 z_i
+    Tr = {"x": zero, "y": zero, "z": (1.0 / 3.0) * (Lv["z"] * rsq)}
+    S3 = {}
+    for k in AX:
+        for pp in AX:
+            for l in AX:
+                sym = (1.0 / 3.0) * (
+                    Lv[k] * xv[pp] * xv[l]
+                    + Lv[pp] * xv[k] * xv[l]
+                    + Lv[l] * xv[k] * xv[pp]
+                )
+                S3[(k, pp, l)] = sym - (1.0 / 5.0) * (
+                    delta(k, pp) * Tr[l] + delta(k, l) * Tr[pp] + delta(pp, l) * Tr[k]
+                )
+
+    terms = {}
+
+    tab = Torus({})
+    for j in AX:
+        for k in AX:
+            tab = tab + (w[j] * w[k] * 2.0 * 0.5) * M2[(j, k)]
+    terms["T1_quad"] = ([tab.coeffs(od)], [2])
+
+    tab = Torus({})
+    for j in AX:
+        for k in AX:
+            for l in AX:
+                tab = tab + (w[j] * w[k] * N[l] * (2.0 / 3.0) * 0.5) * M3[(j, k, l)]
+    terms["T2_oct"] = ([tab.coeffs(od)], [3])
+
+    tab = Torus({})
+    for j in AX:
+        for k in AX:
+            for pp in AX:
+                for q in AX:
+                    e1 = eps[pp + q + j]
+                    if e1 != 0.0:
+                        tab = tab + (0.5 * (8.0 / 3.0) * e1 * N[q] * w[j] * w[k] * 0.5) * S2[(k, pp)]
+                    e2 = eps[pp + q + k]
+                    if e2 != 0.0:
+                        tab = tab + (0.5 * (8.0 / 3.0) * e2 * N[q] * w[j] * w[k] * 0.5) * S2[(j, pp)]
+    terms["T3_curq"] = ([tab.coeffs(od)], [2])
+
+    tab = Torus({})
+    for j in AX:
+        for k in AX:
+            for l in AX:
+                for mm in AX:
+                    tab = tab + (
+                        w[j] * w[k] * N[l] * N[mm] * (1.0 / 6.0) * 0.5
+                    ) * M4[(j, k, l, mm)]
+    terms["T4_hex"] = ([tab.coeffs(od)], [4])
+
+    tab = Torus({})
+    for j in AX:
+        for k in AX:
+            for pp in AX:
+                for q in AX:
+                    for l in AX:
+                        e1 = eps[pp + q + j]
+                        if e1 != 0.0:
+                            tab = tab + (0.5 * e1 * N[q] * N[l] * w[j] * w[k] * 0.5) * S3[(k, pp, l)]
+                        e2 = eps[pp + q + k]
+                        if e2 != 0.0:
+                            tab = tab + (0.5 * e2 * N[q] * N[l] * w[j] * w[k] * 0.5) * S3[(j, pp, l)]
+    terms["T5_curoct"] = ([tab.coeffs(od)], [3])
+
+    return {k: h_of_t(tabs, od, t_grid, Ls) for k, (tabs, Ls) in terms.items()}, od
+
+
+def fourier_family(od, f_of_r_ell, m):
+    """Production-convention F_n of g = f(r, l) e^{i m dphi}, n = -N..N."""
+    g = f_of_r_ell(od["r"], od["ell"]) * np.exp(1j * m * od["dphi"])
+    ns = np.arange(-N_MAX, N_MAX + 1)
+    basis = np.exp(-1j * ns[:, None] * od["th"][None, :])
+    return (basis * (od["w"] * g)[None, :]).sum(axis=1)
+
+
+def model_family(od, Fn, l, m, theta, phi_v, t_grid, sigma=None):
+    """h_model(t)/K for family (l, m): A_lmn = K (-i om)^l F_n."""
+    from emri_frequencydomainwaveforms_tpu.utils.ylm import spin_weighted_ylm
+
+    yp = spin_weighted_ylm([l], [m], theta, phi_v)
+    ym = spin_weighted_ylm([l], [-m], theta, phi_v)
+    yp = complex(np.asarray(yp[0])[0] + 1j * np.asarray(yp[1])[0])
+    ym = complex(np.asarray(ym[0])[0] + 1j * np.asarray(ym[1])[0])
+    if sigma is None:
+        sigma = (-1.0) ** l
+    ns = np.arange(-N_MAX, N_MAX + 1)
+    om = m * od["om_phi"] + ns * od["om_r"]
+    a_over_k = (-1j * om) ** l * Fn
+    h = (a_over_k[None, :] * yp * np.exp(-1j * om[None, :] * t_grid[:, None])).sum(axis=1)
+    if m != 0:
+        h += (
+            sigma * np.conj(a_over_k)[None, :] * ym
+            * np.exp(+1j * om[None, :] * t_grid[:, None])
+        ).sum(axis=1)
+    return h
+
+
+def fit_constant(h_true, h_per_k):
+    """K and relative residual of h_true ~= K h_per_k (complex lsq)."""
+    k = np.vdot(h_per_k, h_true) / np.vdot(h_per_k, h_per_k)
+    res = np.linalg.norm(h_true - k * h_per_k) / np.linalg.norm(h_true)
+    return k, res
+
+
+def main():
+    p, e = 10.0, 0.37
+    od0 = orbit_data(p, e)
+    t_grid = np.linspace(0.0, 3.1 * 2 * np.pi / od0["om_r"], 173)
+
+    cases = [
+        # (term, parity, families: (l, m, f(r, ell)))
+        ("T1_quad", +1, [(2, 2, lambda r, l: r**2), (2, 0, lambda r, l: r**2)]),
+        ("T2_oct", +1, [(3, 3, lambda r, l: r**3), (3, 1, lambda r, l: r**3)]),
+        ("T3_curq", -1, [(2, 1, lambda r, l: l * r)]),
+        ("T4_hex", +1, [(4, 4, lambda r, l: r**4), (4, 2, lambda r, l: r**4),
+                     (4, 0, lambda r, l: r**4)]),
+        ("T5_curoct", -1, [(3, 2, lambda r, l: l * r**2), (3, 0, lambda r, l: l * r**2)]),
+    ]
+
+    angles = [(0.8, 0.3), (1.9, 2.2), (2.6, 5.1)]
+    for term, parity, fams in cases:
+        # stack several viewing angles so families with different m separate
+        h_true = []
+        per_k = {f[: 2]: [] for f in fams}
+        for th, ph in angles:
+            ht, od = brute_force_terms(p, e, th, ph, t_grid)
+            h_true.append(ht[term])
+            for (l, m, fr) in fams:
+                Fn = fourier_family(od, fr, m)
+                sigma = parity * (-1.0) ** l
+                per_k[(l, m)].append(
+                    model_family(od, Fn, l, m, th, ph, t_grid, sigma=sigma)
+                )
+        h_true = np.concatenate(h_true)
+        basis = np.stack([np.concatenate(per_k[f[:2]]) for f in fams], axis=1)
+        kvec, *_ = np.linalg.lstsq(basis, h_true, rcond=None)
+        resid = np.linalg.norm(h_true - basis @ kvec) / np.linalg.norm(h_true)
+        print(f"== {term}: residual {resid:.3e}")
+        for (l, m, _), k in zip(fams, kvec):
+            print(f"   K_{l}{m} = {k:+.15f}")
+            from fractions import Fraction
+
+            mag2 = (abs(k) ** 2) / np.pi
+            frac = Fraction(mag2).limit_denominator(4000)
+            err = abs(float(frac) - mag2) / mag2
+            ang = np.angle(k) / (np.pi / 2)  # multiples of 90 deg
+            print(
+                f"      |K|^2/pi = {mag2:.12f} ~ {frac} (rel err {err:.1e}),"
+                f" phase = {ang:+.6f} * pi/2"
+            )
+
+
+if __name__ == "__main__":
+    main()
