@@ -30,10 +30,12 @@ nu = mu/M.
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .geodesic import energy_angmom, fundamental_frequencies, separatrix
 
@@ -54,12 +56,101 @@ def pn_flux_e_l(p: jax.Array, e: jax.Array) -> tuple[jax.Array, jax.Array]:
     return de, dl
 
 
-def pdot_edot(p: jax.Array, e: jax.Array) -> tuple[jax.Array, jax.Array]:
+def flux_from_modes(p, e, table=None) -> tuple[jax.Array, jax.Array]:
+    """(Edot, Ldot)/nu from the waveform's own multipole content (jittable).
+
+    Energy balance with the l <= 4 mode amplitudes: each (l, m, n) harmonic
+    radiates dE/dt = (1/16 pi) omega^2 |A|^2 per unit solid-angle-summed
+    power, and carries angular momentum L_z/E = m/omega per quantum, so
+
+      <dE/dt>/nu = -(1/8 pi) sum_table omega_mn^2 |A_lmn|^2
+      <dL/dt>/nu = -(1/8 pi) sum_table m omega_mn |A_lmn|^2
+
+    (factor 2 from the tabulated m >= 0 half plus equatorial partners).
+    This is the dissipative counterpart of the waveform's multipole
+    expansion — the trajectory loses exactly the energy the waveform
+    carries, through l = 4 (the reference engine achieves the analogous
+    consistency with Teukolsky flux + amplitude data). Relative to the
+    Peters-Mathews quadrupole flux this adds the current-quadrupole /
+    octupole / hexadecapole dissipation channels (the leading PN flux
+    corrections in the test-mass limit) evaluated on the exact geodesic.
+    """
+    from .amplitude import default_mode_table, mode_amplitudes
+
+    if table is None:
+        table = default_mode_table(30)
+    a_re, a_im = mode_amplitudes(p, e, table)
+    om_phi, om_r = fundamental_frequencies(p, e)
+    m_f = jnp.asarray(table.ms.astype(np.float64))
+    n_f = jnp.asarray(table.ns.astype(np.float64))
+    om = m_f * om_phi[..., None] + n_f * om_r[..., None]
+    power = a_re * a_re + a_im * a_im
+    inv8pi = 1.0 / (8.0 * jnp.pi)
+    de = -inv8pi * jnp.sum(om * om * power, axis=-1)
+    dl = -inv8pi * jnp.sum(m_f * om * power, axis=-1)
+    return de, dl
+
+
+class FluxGrid(NamedTuple):
+    """Regular (u, e) table of (Edot, Ldot)/nu for the trajectory RHS.
+
+    Mirrors the reference engine's flux-interpolant trajectory backend
+    (C++ bicubic over Teukolsky data); here the data is the multipole
+    flux, tabulated once host-side and interpolated inside jit.
+    """
+
+    u0: float
+    du: float
+    e0: float
+    de: float
+    values: jax.Array  # (nu, ne, 2): Edot, Ldot
+
+
+def build_flux_grid(
+    u_range=None, e_range=(1e-6, 0.78), n_u: int = 96, n_e: int = 49
+) -> FluxGrid:
+    """Tabulate `flux_from_modes` on the (u, e) grid (host-side, once)."""
+    from .amplitude_backends import _U_SHIFT
+
+    if u_range is None:
+        u_range = (np.log(_U_SHIFT + 0.02), np.log(16.0))
+    us = np.linspace(u_range[0], u_range[1], n_u)
+    es = np.linspace(e_range[0], e_range[1], n_e)
+    uu, ee = np.meshgrid(us, es, indexing="ij")
+    pp = np.exp(uu) - _U_SHIFT + 6.0 + 2.0 * ee
+    de, dl = flux_from_modes(jnp.asarray(pp.ravel()), jnp.asarray(ee.ravel()))
+    vals = jnp.stack(
+        [de.reshape(n_u, n_e), dl.reshape(n_u, n_e)], axis=-1
+    )
+    return FluxGrid(
+        u0=float(us[0]), du=float(us[1] - us[0]),
+        e0=float(es[0]), de=float(es[1] - es[0]), values=vals,
+    )
+
+
+@lru_cache(maxsize=1)
+def default_flux_grid() -> FluxGrid:
+    return build_flux_grid()
+
+
+def multipole_flux_e_l(p, e, grid: FluxGrid | None = None):
+    """(Edot, Ldot)/nu by bicubic interpolation of the multipole-flux grid."""
+    from ..ops.interp2d import interp2d_bicubic
+    from .amplitude_backends import u_of_pe
+
+    if grid is None:
+        grid = default_flux_grid()
+    u = u_of_pe(p, e)
+    out = interp2d_bicubic(grid.u0, grid.du, grid.e0, grid.de, grid.values, u, e)
+    return out[..., 0], out[..., 1]
+
+
+def pdot_edot(p: jax.Array, e: jax.Array, flux_fn=pn_flux_e_l) -> tuple[jax.Array, jax.Array]:
     """(dp/dt, de/dt) per unit mass ratio, via exact-Jacobian flux balance.
 
     Solves  [dE/dp dE/de; dL/dp dL/de] [pdot; edot] = [Edot; Ldot].
     """
-    de_flux, dl_flux = pn_flux_e_l(p, e)
+    de_flux, dl_flux = flux_fn(p, e)
 
     def en(pe):
         return jnp.stack(energy_angmom(pe[0], pe[1]))
@@ -77,17 +168,19 @@ class InspiralRHS(NamedTuple):
     nu: jax.Array  # mass ratio mu/M
 
 
-def inspiral_rhs(state: jax.Array, args: InspiralRHS) -> jax.Array:
+def inspiral_rhs(state: jax.Array, args: InspiralRHS, flux_fn=pn_flux_e_l) -> jax.Array:
     """RHS of d/dt [p, e, Phi_phi, Phi_r] in geometric time (units of M).
 
     Matches the reference trajectory's evolved variables (x fixed at 1 and
     Phi_theta unused for Schwarzschild-eccentric, cf. reference notebook
-    cell 5 trajectory unpack).
+    cell 5 trajectory unpack). ``flux_fn``: dissipative model —
+    `pn_flux_e_l` (Peters-Mathews) or `multipole_flux_e_l` (the l <= 4
+    mode-sum flux, energy-balanced with the waveform).
     """
     p, e = state[0], state[1]
     # clamp eccentricity away from exactly 0 for the edot/e terms
     e_safe = jnp.maximum(e, 1.0e-9)
-    pdot, edot = pdot_edot(p, e_safe)
+    pdot, edot = pdot_edot(p, e_safe, flux_fn=flux_fn)
     omega_phi, omega_r = fundamental_frequencies(p, e_safe)
     return jnp.stack([args.nu * pdot, args.nu * edot, omega_phi, omega_r])
 
@@ -102,4 +195,15 @@ def stop_condition(state: jax.Array, delta_p_stop: float = 0.12) -> jax.Array:
     return p <= separatrix(e) + delta_p_stop
 
 
-__all__ = ["pn_flux_e_l", "pdot_edot", "InspiralRHS", "inspiral_rhs", "stop_condition"]
+__all__ = [
+    "pn_flux_e_l",
+    "flux_from_modes",
+    "FluxGrid",
+    "build_flux_grid",
+    "default_flux_grid",
+    "multipole_flux_e_l",
+    "pdot_edot",
+    "InspiralRHS",
+    "inspiral_rhs",
+    "stop_condition",
+]

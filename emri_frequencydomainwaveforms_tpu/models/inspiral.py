@@ -50,7 +50,7 @@ class Trajectory(NamedTuple):
     n: jax.Array  # live knot count
 
 
-@partial(jax.jit, static_argnames=("max_steps", "rtol"))
+@partial(jax.jit, static_argnames=("max_steps", "rtol", "flux"))
 def schwarz_ecc_flux_inspiral(
     mass_1: jax.Array,
     mass_2: jax.Array,
@@ -63,6 +63,7 @@ def schwarz_ecc_flux_inspiral(
     max_steps: int = 512,
     rtol: float = 1e-11,
     delta_p_stop: float = 0.12,
+    flux: str = "pm",
 ) -> Trajectory:
     """Integrate the Schwarzschild eccentric flux inspiral.
 
@@ -71,6 +72,9 @@ def schwarz_ecc_flux_inspiral(
       mass_2: secondary mass mu [solar masses].
       p0, e0: initial semi-latus rectum / eccentricity.
       t_years: observation horizon T [sidereal years].
+      flux: dissipative model — "pm" (Peters-Mathews quadrupole) or
+        "multipole" (the l <= 4 mode-sum flux interpolant, energy-balanced
+        with the waveform's multipole content; `models.flux.FluxGrid`).
 
     Returns:
       Trajectory with t in seconds; stops at min(T, separatrix reached).
@@ -89,8 +93,15 @@ def schwarz_ecc_flux_inspiral(
             jnp.asarray(Phi_r0, jnp.float64),
         ]
     )
+    if flux == "multipole":
+        from .flux import default_flux_grid, multipole_flux_e_l
+
+        grid = default_flux_grid()
+        flux_fn = lambda p_, e_: multipole_flux_e_l(p_, e_, grid)
+    else:
+        flux_fn = None
     knots: InspiralKnots = integrate_inspiral(
-        lambda y: inspiral_rhs(y, args),
+        lambda y: inspiral_rhs(y, args) if flux_fn is None else inspiral_rhs(y, args, flux_fn=flux_fn),
         lambda y: stop_condition(y, delta_p_stop),
         y0,
         t_max_geo,

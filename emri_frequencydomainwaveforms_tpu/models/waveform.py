@@ -80,11 +80,16 @@ def waveform_prologue(
     eps,
     forced_idx: np.ndarray | None = None,
     max_steps: int = 512,
+    flux: str = "pm",
 ) -> WaveformPrologue:
-    """Trajectory + amplitudes + Ylm + mode selection (shared by TD/FD)."""
+    """Trajectory + amplitudes + Ylm + mode selection (shared by TD/FD).
+
+    ``flux``: trajectory dissipation model — "pm" (Peters-Mathews) or
+    "multipole" (l <= 4 mode-sum flux grid; see `models.flux`).
+    """
     traj = schwarz_ecc_flux_inspiral(
         mass_1, mass_2, p0, e0, t_years=t_years, Phi_phi0=Phi_phi0, Phi_r0=Phi_r0,
-        max_steps=max_steps,
+        max_steps=max_steps, flux=flux,
     )
     a_re, a_im = mode_amplitudes(traj.p, traj.e, table)  # (K, M)
 

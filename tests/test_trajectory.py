@@ -115,3 +115,55 @@ class TestInspiral:
         trajs = f(p0s)
         assert trajs.t.shape == (4, 512)
         assert np.isfinite(np.asarray(trajs.p)).all()
+
+
+class TestMultipoleFlux:
+    """l <= 4 mode-sum flux (models.flux.flux_from_modes + grid backend)."""
+
+    def test_peters_mathews_limit(self):
+        # weak field: the l=2 mode-sum flux must reduce to the closed-form
+        # Peters-Mathews enhancement functions to O(1/p)
+        from emri_frequencydomainwaveforms_tpu.models.flux import (
+            flux_from_modes,
+            pn_flux_e_l,
+        )
+        from emri_frequencydomainwaveforms_tpu.models.amplitude import (
+            default_mode_table,
+        )
+
+        t22 = default_mode_table(40, l_max=2)
+        for p, e in [(500.0, 0.4), (1000.0, 0.1)]:
+            de_m, dl_m = flux_from_modes(jnp.asarray(p), jnp.asarray(e), t22)
+            de_pm, dl_pm = pn_flux_e_l(jnp.asarray(p), jnp.asarray(e))
+            assert abs(float(de_m / de_pm) - 1.0) < 20.0 / p
+            assert abs(float(dl_m / dl_pm) - 1.0) < 20.0 / p
+
+    def test_grid_interpolant_matches_direct(self):
+        from emri_frequencydomainwaveforms_tpu.models.flux import (
+            build_flux_grid,
+            flux_from_modes,
+            multipole_flux_e_l,
+        )
+
+        grid = build_flux_grid(n_u=48, n_e=25)
+        for p, e in [(8.0, 0.2), (10.0, 0.45), (14.0, 0.1)]:
+            de_g, dl_g = multipole_flux_e_l(jnp.asarray(p), jnp.asarray(e), grid)
+            de_d, dl_d = flux_from_modes(jnp.asarray(p), jnp.asarray(e))
+            assert abs(float(de_g / de_d) - 1.0) < 2e-3
+            assert abs(float(dl_g / dl_d) - 1.0) < 2e-3
+
+    def test_multipole_trajectory_dissipates_faster(self):
+        # higher multipoles add dissipation channels: the multipole-flux
+        # inspiral must reach plunge sooner than Peters-Mathews
+        from emri_frequencydomainwaveforms_tpu.models.inspiral import (
+            schwarz_ecc_flux_inspiral,
+        )
+
+        kw = dict(t_years=4.0, max_steps=256)
+        tr_pm = schwarz_ecc_flux_inspiral(1e6, 50.0, 8.5, 0.3, **kw)
+        tr_mp = schwarz_ecc_flux_inspiral(1e6, 50.0, 8.5, 0.3, flux="multipole", **kw)
+        t_end_pm = float(tr_pm.t[int(tr_pm.n) - 1])
+        t_end_mp = float(tr_mp.t[int(tr_mp.n) - 1])
+        assert np.isfinite(t_end_mp) and t_end_mp > 0
+        assert t_end_mp < t_end_pm  # plunges earlier
+        assert t_end_mp > 0.5 * t_end_pm  # but the same order of magnitude
