@@ -182,7 +182,28 @@ def _save_h5(path: str, results: dict) -> None:
     print(f"scan written to {path}")
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache: this environment's remote-compile
+    tunnel costs 1-3 min per program; cached executables make repeat CLI
+    invocations (scans, canned matrices, resumed runs) start in seconds.
+    Override the location with JAX_COMPILATION_CACHE_DIR."""
+    import os
+
+    import jax
+
+    cache = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "emri_fdw_tpu_xla"),
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # cache is an optimization only
+
+
 def main(argv=None):
+    _enable_compile_cache()
     args = build_parser().parse_args(argv)
     run_check(args)
 

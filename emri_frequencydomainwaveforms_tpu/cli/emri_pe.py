@@ -48,6 +48,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=2601996)
     p.add_argument("--start-scale", type=float, default=1e-7,
                    help="relative scale of the walker ball around the truth")
+    p.add_argument("--start-cov", type=str, default=None,
+                   help="npy file seeding the walkers: (ndim, ndim) covariance "
+                        "or (N, ndim) posterior samples (reference "
+                        "emri_pe.py:439-451 covariance.npy semantics)")
+    p.add_argument("--plot", action="store_true",
+                   help="write a corner plot of the cold chain "
+                        "(reference emri_pe.py:577-582)")
     return p
 
 
@@ -129,6 +136,8 @@ def run_emri_pe(args) -> dict:
         rfft_idx = np.arange(1, (n_t + 1) // 2)[:: max(args.downsample, 1)]
         rfft_idx_j = jnp.asarray(rfft_idx)
 
+        from ..utils.fdutils import dft_at_bins
+
         def template(params14):
             m, mu, a, p0_, e0_, x0, dist_, qs, fs, qk, fk, pph0, pth0, pr0 = params14
             pro = waveform_prologue(
@@ -138,9 +147,10 @@ def run_emri_pe(args) -> dict:
             hp, hc = td_waveform_core(pro, table, t_grid)
             out = []
             for h in (hp, hc):
-                spec = jnp.fft.rfft(h.astype(jnp.float32)) * jnp.float32(dt)
-                sel = spec[rfft_idx_j]
-                out.append((jnp.real(sel).astype(jnp.float64), jnp.imag(sel).astype(jnp.float64)))
+                # direct DFT at the analysis bins: XLA's TPU rfft of the odd
+                # grid length would lower to a dense (N, N) DFT matrix
+                re, im = dft_at_bins(h, rfft_idx_j, n_t)
+                out.append((re * dt, im * dt))
             return out
 
     # ---- injection ----
@@ -186,10 +196,29 @@ def run_emri_pe(args) -> dict:
 
     # ---- walkers around the truth ----
     rng = np.random.default_rng(args.seed)
-    scales = np.abs(truth) * args.start_scale + 1e-9
-    start = truth[None, None, :] + rng.normal(
-        0, 1.0, (args.ntemps, args.nwalkers, 6)
-    ) * scales[None, None, :]
+    if args.start_cov:
+        # covariance-file seeding (reference emri_pe.py:439-451): accepts a
+        # (ndim, ndim) covariance or an (N, ndim) empirical sample chain
+        arr = np.load(args.start_cov)
+        cov = arr if arr.ndim == 2 and arr.shape[0] == arr.shape[1] else np.cov(arr.T)
+        cov = cov / (2.4 * 6)  # reference's 2.4*ndim shrink
+        start = rng.multivariate_normal(
+            truth, cov, size=(args.ntemps, args.nwalkers)
+        )
+        # NaN/-inf-prior walkers resample from the truth ball (reference :447)
+        for _ in range(16):
+            lp = np.asarray(priors.logpdf(jnp.asarray(start.reshape(-1, 6)))).reshape(
+                args.ntemps, args.nwalkers
+            )
+            bad = ~np.isfinite(lp)
+            if not bad.any():
+                break
+            start[bad] = rng.multivariate_normal(truth, cov, size=int(bad.sum()))
+    else:
+        scales = np.abs(truth) * args.start_scale + 1e-9
+        start = truth[None, None, :] + rng.normal(
+            0, 1.0, (args.ntemps, args.nwalkers, 6)
+        ) * scales[None, None, :]
 
     outname = args.outname or (
         f"emri_pe_T{t_years}_M{args.M:.1e}_mu{args.mu}_e{args.e0}"
@@ -225,6 +254,19 @@ def run_emri_pe(args) -> dict:
         f"acceptance {np.mean(sampler.acceptance_fraction):.3f}"
     )
     chain = sampler.get_chain()["emri"]
+    if args.plot:
+        from ..utils.plotting import plot_corner
+
+        cold = chain[:, 0].reshape(-1, 6)
+        cold = cold[~np.isnan(cold[:, 0])]
+        png = outname.replace(".h5", "_corner.png")
+        plot_corner(
+            cold,
+            labels=["lnM", "ln(mu/M)", "p0", "e0", "Phi_phi0", "Phi_r0"],
+            truths=truth,
+            fname=png,
+        )
+        print(f"corner plot written to {png}")
     return {
         "chain": chain,
         "truth": truth,
@@ -234,7 +276,28 @@ def run_emri_pe(args) -> dict:
     }
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache: this environment's remote-compile
+    tunnel costs 1-3 min per program; cached executables make repeat CLI
+    invocations (scans, canned matrices, resumed runs) start in seconds.
+    Override the location with JAX_COMPILATION_CACHE_DIR."""
+    import os
+
+    import jax
+
+    cache = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "emri_fdw_tpu_xla"),
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # cache is an optimization only
+
+
 def main(argv=None):
+    _enable_compile_cache()
     args = build_parser().parse_args(argv)
     run_emri_pe(args)
 

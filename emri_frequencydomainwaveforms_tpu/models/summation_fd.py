@@ -154,8 +154,13 @@ def prepare_fd_inputs(
     # at the band start (observed as a spurious peak in the first segment)
     sp_pp = fit_cubic_spline(t_knots, phi_phi_knots, bc="not-a-knot")
     sp_pr = fit_cubic_spline(t_knots, phi_r_knots, bc="not-a-knot")
-    sp_ar = fit_cubic_spline(t_knots, a_re_knots.T, bc="not-a-knot")  # (M, K-1, 4)
-    sp_ai = fit_cubic_spline(t_knots, a_im_knots.T, bc="not-a-knot")
+    # gather the SELECTED modes before fitting: the tridiagonal solve is
+    # sequential in K, so fitting all ~500 candidates to then keep k_max
+    # wastes ~8x of the prologue's serial critical path
+    a_re_sel = jnp.take(a_re_knots, sel.idx, axis=1)  # (K, k_max)
+    a_im_sel = jnp.take(a_im_knots, sel.idx, axis=1)
+    sp_ar = fit_cubic_spline(t_knots, a_re_sel.T, bc="not-a-knot")  # (k_max, K-1, 4)
+    sp_ai = fit_cubic_spline(t_knots, a_im_sel.T, bc="not-a-knot")
 
     # knot frequencies from the phase-spline derivative (exact consistency)
     f_phi_knots = spline_eval(sp_pp, t_knots, deriv=1) / _TWO_PI
@@ -215,8 +220,8 @@ def prepare_fd_inputs(
         c_phi_r=sp_pr.c,
         f_phi_knots=f_phi_knots,
         f_r_knots=f_r_knots,
-        ar_c=jnp.take(sp_ar.c, sel.idx, axis=0),
-        ai_c=jnp.take(sp_ai.c, sel.idx, axis=0),
+        ar_c=sp_ar.c,  # already the selected subset (gathered before fit)
+        ai_c=sp_ai.c,
         m_sel=m_sel,
         n_sel=n_sel,
         w1_re=jnp.take(w1[0], sel.idx),

@@ -62,11 +62,12 @@ def td_mode_sum(
     live = (t_grid <= t_end).astype(t_grid.dtype)
 
     # amplitude splines for all candidate modes, then gather the selected set
-    sp_ar = fit_cubic_spline(t_knots, a_re_knots.T, bc="not-a-knot")  # (M, K-1, 4)
-    sp_ai = fit_cubic_spline(t_knots, a_im_knots.T, bc="not-a-knot")
+    # gather the selected modes BEFORE the (K-sequential) spline fits
+    sp_ar = fit_cubic_spline(t_knots, jnp.take(a_re_knots, sel.idx, axis=1).T, bc="not-a-knot")
+    sp_ai = fit_cubic_spline(t_knots, jnp.take(a_im_knots, sel.idx, axis=1).T, bc="not-a-knot")
 
-    ar_c = jnp.take(sp_ar.c, sel.idx, axis=0)  # (k_max, K-1, 4)
-    ai_c = jnp.take(sp_ai.c, sel.idx, axis=0)
+    ar_c = sp_ar.c  # (k_max, K-1, 4)
+    ai_c = sp_ai.c
     m_sel = jnp.take(m_arr, sel.idx)
     n_sel = jnp.take(n_arr, sel.idx)
     sig_sel = jnp.take(sigma_arr, sel.idx)

@@ -385,6 +385,7 @@ class FastSchwarzschildEccentricFlux:
         sum_kwargs=None,
         use_gpu=None,
         n_max: int = 30,
+        l_max: int = 4,
         k_max: int = 64,
     ):
         del inspiral_kwargs, amplitude_kwargs, Ylm_kwargs, use_gpu
@@ -392,7 +393,7 @@ class FastSchwarzschildEccentricFlux:
         self.output_type = sum_kwargs.get("output_type", "td")
         self.odd_len = sum_kwargs.get("odd_len", True)
         self.pad_output = sum_kwargs.get("pad_output", False)
-        self.table = default_mode_table(n_max)
+        self.table = default_mode_table(n_max, l_max=l_max)
         self.k_max = k_max
         self.frequency = None
 
@@ -527,12 +528,13 @@ class GenerateEMRIWaveform:
         use_gpu=None,
         frame: str = "detector",
         n_max: int = 30,
+        l_max: int = 4,
         k_max: int = 64,
     ):
         if waveform_class != "FastSchwarzschildEccentricFlux":
             raise NotImplementedError(waveform_class)
         self.waveform_generator = FastSchwarzschildEccentricFlux(
-            sum_kwargs=sum_kwargs, n_max=n_max, k_max=k_max
+            sum_kwargs=sum_kwargs, n_max=n_max, l_max=l_max, k_max=k_max
         )
         self.return_list = return_list
         self.frame = frame

@@ -205,7 +205,7 @@ class TestAmplitudeBackends:
 
         table = default_mode_table(3)
         params0 = init_roman_network(table, hidden=(32, 32), seed=0)
-        params = fit_roman_network(params0, n_steps=600, batch=256, seed=2)
+        params = fit_roman_network(params0, n_steps=300, batch=192, seed=2)
         ps = jnp.asarray([9.0, 11.0])
         es = jnp.asarray([0.2, 0.4])
         re_d, im_d = mode_amplitudes(ps, es, table)

@@ -100,7 +100,7 @@ class TestRJ:
     """Reference ``test_rj`` equivalent: single-branch birth/death."""
 
     def test_rj_single_branch(self):
-        ntemps, nwalkers, ndim = 4, 20, 3
+        ntemps, nwalkers, ndim = 2, 16, 3
         nleaves_max = {"gauss": 8}
         nleaves_min = {"gauss": 0}
         rng = np.random.default_rng(0)
@@ -161,7 +161,7 @@ class TestRJ:
         assert 2.0 < nleaves[:, 0].mean() <= 8.0
 
     def test_rj_multiple_branches_hdf(self):
-        ntemps, nwalkers = 4, 16
+        ntemps, nwalkers = 2, 12
         ndims = {"gauss": 3, "sine": 3}
         nleaves_max = {"gauss": 8, "sine": 4}
         nleaves_min = {"gauss": 0, "sine": 0}
@@ -277,7 +277,7 @@ class TestMT:
 
         priors_in = {i: uniform_dist(-5.0, 5.0) for i in range(ndim)}
         priors = ProbDistContainer(priors_in)
-        mt = MTDistGenMove(priors, num_try=15, independent=True)
+        mt = MTDistGenMove(priors, num_try=10, independent=True)
 
         ens = EnsembleSampler(
             nwalkers,
@@ -289,7 +289,7 @@ class TestMT:
             tempering_kwargs={"ntemps": ntemps},
         )
         coords = priors.rvs(size=(ntemps, nwalkers))
-        ens.run_mcmc(coords[:, :, None, :], 60, burn=20)
+        ens.run_mcmc(coords[:, :, None, :], 50, burn=15)
 
         samples = ens.get_chain()["model_0"][:, 0].reshape(-1, ndim)
         # an independence sampler from the prior mixes fast: the N(0,1)

@@ -41,7 +41,7 @@ from emri_frequencydomainwaveforms_tpu.models.waveform import (
     waveform_prologue,
 )
 
-TABLE = default_mode_table(30)
+TABLE = default_mode_table(30, l_max=2)  # golden modes are l=2 families
 
 
 def _mismatch(a, b, w=None):

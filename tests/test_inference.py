@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from emri_frequencydomainwaveforms_tpu.inference.ensemble import EnsembleSampler
+from emri_frequencydomainwaveforms_tpu.inference.state import make_state
 from emri_frequencydomainwaveforms_tpu.inference.prior import (
     ProbDistContainer,
     log_uniform,
@@ -245,3 +246,48 @@ class TestMoveSchedule:
         sampler.run_mcmc(jnp.asarray(start), 300, burn=50)
         flat = sampler.get_chain(discard=100)["model_0"][:, 0, :, 0, :].reshape(-1, NDIM)
         np.testing.assert_allclose(flat.mean(axis=0), np.asarray(MEANS), atol=0.2)
+
+
+class TestSamplerGuides:
+    """samplingguide presets (reference samplingguide.py:52,370,642,1022)."""
+
+    def test_emri_guide_builds_and_runs(self):
+        from emri_frequencydomainwaveforms_tpu.inference.guide import EMRIGuide
+
+        def like(x):
+            return -0.5 * jnp.sum((x - jnp.asarray([13.5, 0.01, 12.0, 0.3, 1.0, 2.0])) ** 2, axis=-1)
+
+        g = EMRIGuide(like, p0_center=12.0, nwalkers=8, ntemps=2)
+        ens = g.build()
+        start = g.start_from_ball([13.5, 0.01, 12.0, 0.3, 1.0, 2.0], rel_scale=1e-3)
+        last = ens.run_mcmc(start, 5)
+        assert np.isfinite(np.asarray(last.log_like)).all()
+
+    def test_gb_guide_rj_configuration(self):
+        from emri_frequencydomainwaveforms_tpu.inference.guide import GBGuide
+
+        def gb_like(coords, inds):
+            amp = jnp.exp(coords[..., 0])
+            return -0.5 * jnp.sum(jnp.where(inds, (amp * 1e22) ** 2, 0.0), axis=-1)
+
+        g = GBGuide(gb_like, nleaves_max=4, nwalkers=8, ntemps=2)
+        ens = g.build()
+        assert ens.multibranch and ens.has_reversible_jump
+        inds = np.zeros((2, 8, 4), bool)
+        inds[:, :, 0] = True
+        state = make_state(
+            {"gb": g.priors.rvs(size=(2, 8, 4))}, inds={"gb": inds}
+        )
+        last = ens.run_mcmc(state, 4)
+        nl = np.asarray(last.branches["gb"].nleaves)
+        assert nl.min() >= 0 and nl.max() <= 4
+
+    def test_mbh_guide_transforms(self):
+        from emri_frequencydomainwaveforms_tpu.inference.guide import MBHGuide
+
+        g = MBHGuide(lambda x: jnp.zeros(x.shape[0]), Tobs=1.0, nwalkers=8)
+        assert g.priors.ndim == 11
+        tf = MBHGuide.parameter_transforms()
+        m1, m2 = tf[(0, 1)](jnp.log(1e6), 0.5)
+        np.testing.assert_allclose(float(m1) + float(m2), 1e6, rtol=1e-12)
+        np.testing.assert_allclose(float(m2) / float(m1), 0.5, rtol=1e-12)

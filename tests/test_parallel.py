@@ -31,8 +31,8 @@ pytestmark = pytest.mark.skipif(
     len(jax.devices()) < 8, reason="needs the 8-device CPU mesh"
 )
 
-TABLE = default_mode_table(4)
-F_NP = 1e-3 + 3e-7 * np.arange(512)
+TABLE = default_mode_table(4, l_max=2)
+F_NP = 1e-3 + 3e-7 * np.arange(256)
 F_ARR = jnp.asarray(F_NP)
 UNIFORM = (float(F_NP[0]), float(F_NP[1] - F_NP[0]))
 

@@ -31,7 +31,7 @@ P0_TRUE, E0_TRUE = 9.2, 0.3
 
 
 def test_pe_recovers_injection():
-    table = default_mode_table(8)
+    table = default_mode_table(8, l_max=2)  # CI-size inventory
     freq = default_frequencies(T_YEARS, DT)
     f_np = freq[freq > 0][::20]
     f_arr = jnp.asarray(f_np)
@@ -41,7 +41,7 @@ def test_pe_recovers_injection():
         p0, e0 = params[0], params[1]
         pro = waveform_prologue(
             M_TRUE, MU_TRUE, p0, e0, 0.7, 0.5, 1.0, 1.0, 2.0,
-            t_years=T_YEARS, table=table, k_max=16, eps=1e-2, max_steps=256,
+            t_years=T_YEARS, table=table, k_max=16, eps=1e-2, max_steps=128,
         )
         hpr, hpi, hcr, hci = fd_waveform_core(
             pro, table, f_arr, channels=True, uniform=uniform
@@ -62,7 +62,7 @@ def test_pe_recovers_injection():
         {0: uniform_dist(P0_TRUE - 0.05, P0_TRUE + 0.05),
          1: uniform_dist(E0_TRUE - 0.02, E0_TRUE + 0.02)}
     )
-    nwalkers, nsteps = 12, 60
+    nwalkers, nsteps = 12, 18
     sampler = EnsembleSampler(
         nwalkers, [2], lambda x: like(x), {"emri": priors},
         branch_names=["emri"], seed=5,
@@ -75,10 +75,10 @@ def test_pe_recovers_injection():
         ],
         axis=-1,
     )
-    sampler.run_mcmc(jnp.asarray(start), nsteps, burn=15)
+    sampler.run_mcmc(jnp.asarray(start), nsteps, burn=6)
 
-    chain = sampler.get_chain(discard=20)["emri"][:, 0, :, 0, :].reshape(-1, 2)
-    ll = sampler.get_log_like(discard=20)[:, 0, :].ravel()
+    chain = sampler.get_chain(discard=6)["emri"][:, 0, :, 0, :].reshape(-1, 2)
+    ll = sampler.get_log_like(discard=6)[:, 0, :].ravel()
 
     # the chain must stay in a tight high-likelihood region around the truth
     assert np.median(ll) > -30.0

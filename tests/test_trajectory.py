@@ -159,9 +159,9 @@ class TestMultipoleFlux:
             schwarz_ecc_flux_inspiral,
         )
 
-        kw = dict(t_years=4.0, max_steps=256)
-        tr_pm = schwarz_ecc_flux_inspiral(1e6, 50.0, 8.5, 0.3, **kw)
-        tr_mp = schwarz_ecc_flux_inspiral(1e6, 50.0, 8.5, 0.3, flux="multipole", **kw)
+        kw = dict(t_years=2.0, max_steps=192)
+        tr_pm = schwarz_ecc_flux_inspiral(1e6, 50.0, 8.0, 0.3, **kw)
+        tr_mp = schwarz_ecc_flux_inspiral(1e6, 50.0, 8.0, 0.3, flux="multipole", **kw)
         t_end_pm = float(tr_pm.t[int(tr_pm.n) - 1])
         t_end_mp = float(tr_mp.t[int(tr_mp.n) - 1])
         assert np.isfinite(t_end_mp) and t_end_mp > 0

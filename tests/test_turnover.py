@@ -102,10 +102,10 @@ class TestSyntheticFold:
 class TestPlungingSource:
     def test_turnover_adds_finite_inband_content(self):
         # p0 near separatrix: plunges at ~0.03 yr; mode (2,2,4) turns over
-        table = default_mode_table(30)
+        table = default_mode_table(16, l_max=2)
         pro = waveform_prologue(
             1e6, 50.0, 7.6, 0.3, 0.7, 0.5, 1.0, 0.0, 0.0,
-            t_years=1.0, table=table, k_max=64, eps=1e-2,
+            t_years=1.0, table=table, k_max=32, eps=1e-2,
         )
         sig = _sigma(table)
         ypr, ypi = pro.y_plus
@@ -131,7 +131,7 @@ class TestPlungingSource:
         assert 0 < contributing.sum() < len(f_grid) // 4
 
     def test_jit_vmap_with_turnover(self):
-        table = default_mode_table(8)
+        table = default_mode_table(8, l_max=2)
         f_pos = jnp.linspace(1e-3, 6e-3, 64)
 
         @jax.jit

@@ -34,8 +34,11 @@ def _mismatch(a, b):
 
 @pytest.fixture(scope="module")
 def generators():
-    td = GenerateEMRIWaveform(sum_kwargs=dict(odd_len=True), return_list=True)
-    fd = GenerateEMRIWaveform(sum_kwargs=dict(output_type="fd", odd_len=True), return_list=True)
+    # CI-size inventory (n_max=16, l<=3): the full-table FD/TD gate runs on
+    # real TPU hardware inside bench.py on every round
+    kw = dict(return_list=True, n_max=16, l_max=3)
+    td = GenerateEMRIWaveform(sum_kwargs=dict(odd_len=True), **kw)
+    fd = GenerateEMRIWaveform(sum_kwargs=dict(output_type="fd", odd_len=True), **kw)
     return td, fd
 
 
@@ -73,7 +76,8 @@ class TestFDvsTD:
         # FD model on a sparse f_arr == same bins of the full grid (the
         # property that enables downsampled likelihoods, emri_pe.py:322-391)
         fd_gen = GenerateEMRIWaveform(
-            sum_kwargs=dict(output_type="fd", odd_len=True), return_list=True
+            sum_kwargs=dict(output_type="fd", odd_len=True), return_list=True,
+            n_max=10, l_max=2,
         )
         kw = dict(T=0.02, dt=DT, eps=1e-2)
         full = fd_gen(*PARS, **kw)
