@@ -205,7 +205,13 @@ def fd_waveform_core(
         # grid, and phase/envelope interpolation needs >= O(300) nodes per
         # band — tiny grids therefore degenerate to node-per-bin (r = 1,
         # no interpolation at all), huge grids amortize with wide runs.
-        r_eff = max(1, min(bins_per_run, nf // 8192))
+        # When the CALLER supplies band_offsets they are expressed in
+        # bins_per_run-sized runs, so the run size must be honored exactly
+        # (auto-shrinking it silently misplaced every shared window).
+        if band_offsets is not None:
+            r_eff = bins_per_run
+        else:
+            r_eff = max(1, min(bins_per_run, nf // 8192))
         o1r, o1i, o2r, o2i = fd_mode_sum_uniform(
             inp, f0, dfreq, nf, bins_per_run=r_eff, band_runs=band_runs,
             band_offsets=band_offsets,
@@ -335,6 +341,103 @@ def band_offsets_for(
     margin = int(band_runs * margin_frac)
     g0 = np.floor((f_start - f0) / run_df).astype(np.int32) - margin
     return np.maximum(g0, 0)
+
+
+class FrozenSelection(NamedTuple):
+    """Batch-shared mode-slot configuration for the banded FD fast path.
+
+    Produced once per walker batch by `freeze_mode_selection` from a
+    representative source; holds the slot -> mode map (``forced_idx``), the
+    shared window offsets, and the window geometry. Passing per-lane
+    (traced) offsets to the banded kernel lowers its window accumulation
+    to a scatter (~100x slower) AND per-lane eps selection shifts slot
+    identity whenever a marginal mode crosses the eps boundary — freezing
+    both is the production configuration, validated per batch via
+    `coverage_of` (the eps semantic: the frozen set must carry >= 1 - eps
+    of each lane's mode power).
+    """
+
+    forced_idx: np.ndarray  # (k_slots,) candidate-table indices
+    band_offsets: np.ndarray  # (k_slots,) window-start runs
+    bins_per_run: int
+    band_runs: int
+
+
+def freeze_mode_selection(
+    pro: WaveformPrologue,
+    table: ModeTable,
+    f0: float,
+    df: float,
+    *,
+    k_slots: int | None = None,
+    bins_per_run: int = 64,
+    band_runs: int | None = None,
+    margin_frac: float = 0.125,
+    drift_frac: float = 0.02,
+) -> FrozenSelection:
+    """Build the batch-shared slot layout from a representative prologue.
+
+    ``pro`` should come from `waveform_prologue` with eps selection (its
+    ``sel`` orders live slots by band-start frequency). ``k_slots``
+    truncates to the leading slots (defaults to the live count + 2 margin
+    slots); ``band_runs`` defaults to the widest selected band + offset
+    margin + 25% drift headroom, rounded up to a multiple of 64.
+    """
+    from ..ops.cubic_spline import fit_cubic_spline, spline_eval
+
+    mask = np.asarray(pro.sel.mask)
+    if k_slots is None:
+        k_slots = min(int(mask.sum()) + 2, len(mask))
+    forced = np.asarray(pro.sel.idx)[:k_slots]
+
+    # band widths (in runs) of the kept slots, from the phase-spline
+    # derivative at the live knots
+    sp_pp = fit_cubic_spline(pro.t_knots, pro.phi_phi, bc="not-a-knot")
+    sp_pr = fit_cubic_spline(pro.t_knots, pro.phi_r, bc="not-a-knot")
+    two_pi = 2.0 * math.pi
+    fphi = np.asarray(spline_eval(sp_pp, pro.t_knots, deriv=1)) / two_pi
+    fr = np.asarray(spline_eval(sp_pr, pro.t_knots, deriv=1)) / two_pi
+    n_liv = int(pro.n_live)
+    ms = table.ms[forced].astype(np.float64)
+    ns = table.ns[forced].astype(np.float64)
+    fk = ms[:, None] * fphi[None, :n_liv] + ns[:, None] * fr[None, :n_liv]
+    width_bins = (fk.max(axis=1) - fk[:, 0]) / df
+    # run size adapts to the NARROWEST band: the per-run Hermite/Catmull-Rom
+    # interpolation needs >= O(30) runs across a band (short signals chirp
+    # so little that a band can be narrower than one 64-bin run)
+    bins_per_run = int(np.clip(width_bins.min() // 32, 1, bins_per_run))
+    run_df = bins_per_run * df
+    # margins scale with each band's absolute frequency POSITION: across a
+    # batch the band shifts by ~(posterior param drift) x f, not by a
+    # fraction of the band width (drift_frac = 2% covers ~3x the measured
+    # shift of a +-0.5%-wide p0/e0 posterior; widen for broader posteriors)
+    pos_bins = (fk[:, 0] - f0) / df
+    margin_bins = np.maximum(
+        drift_frac * (pos_bins + width_bins), margin_frac * width_bins
+    )
+    if band_runs is None:
+        need_bins = width_bins * (1.0 + drift_frac) + 2.0 * margin_bins
+        band_runs = int(np.ceil(need_bins.max() / bins_per_run / 64.0) * 64)
+
+    g0 = np.floor((pos_bins - margin_bins) / bins_per_run).astype(np.int32)
+    return FrozenSelection(
+        forced_idx=forced,
+        band_offsets=np.maximum(g0, 0),
+        bins_per_run=bins_per_run,
+        band_runs=band_runs,
+    )
+
+
+def coverage_of(frozen: FrozenSelection, power: jax.Array) -> jax.Array:
+    """Fraction of total mode power the frozen slot set carries (jittable).
+
+    ``power``: (..., n_candidates) per-mode power (from
+    `modeselect.mode_power` along a lane's own trajectory). Gate batches
+    with ``coverage_of(...) >= 1 - eps`` before trusting the frozen layout
+    across a new posterior region.
+    """
+    kept = jnp.sum(jnp.take(power, jnp.asarray(frozen.forced_idx), axis=-1), axis=-1)
+    return kept / jnp.sum(power, axis=-1)
 
 
 def td_waveform_core(pro: WaveformPrologue, table: ModeTable, t_grid: jax.Array):
@@ -597,6 +700,9 @@ __all__ = [
     "waveform_prologue",
     "fd_waveform_core",
     "td_waveform_core",
+    "FrozenSelection",
+    "freeze_mode_selection",
+    "coverage_of",
     "default_time_grid",
     "default_frequencies",
     "FastSchwarzschildEccentricFlux",

@@ -161,3 +161,67 @@ class TestPallasKernel:
             x, y = np.asarray(x), np.asarray(y)
             scale = max(np.abs(x).max(), 1e-30)
             assert np.abs(y - x).max() / scale < 1e-4
+
+
+class TestFrozenSelection:
+    """Batch-shared slot layout helper (the production banded fast path)."""
+
+    def test_freeze_and_coverage(self):
+        from emri_frequencydomainwaveforms_tpu.models.modeselect import mode_power
+        from emri_frequencydomainwaveforms_tpu.models.waveform import (
+            coverage_of,
+            freeze_mode_selection,
+        )
+        from emri_frequencydomainwaveforms_tpu.utils.ylm import spin_weighted_ylm
+        from emri_frequencydomainwaveforms_tpu.models.waveform import (
+            default_frequencies,
+        )
+
+        table = default_mode_table(16, l_max=2)
+        freq = default_frequencies(0.1, 10.0)
+        f_np = freq[freq > 0]
+        f0u, dfu = float(f_np[0]), float(f_np[1] - f_np[0])
+        pro = waveform_prologue(
+            1e6, 10.0, 12.0, 0.35, 0.7, 0.5, 1.0, 0.0, 0.0,
+            t_years=0.1, table=table, k_max=16, eps=1e-2, max_steps=128,
+        )
+        fz = freeze_mode_selection(pro, table, f0u, dfu)
+        assert 0 < len(fz.forced_idx) <= 16
+        assert fz.band_runs % 64 == 0
+
+        # a drifted lane: frozen waveform finite, coverage above the gate
+        pro_l = waveform_prologue(
+            1e6, 10.0, 12.03, 0.352, 0.72, 0.52, 1.0, 0.0, 0.0,
+            t_years=0.1, table=table, k_max=len(fz.forced_idx), eps=1e-2,
+            max_steps=128, forced_idx=fz.forced_idx,
+        )
+        out = fd_waveform_core(
+            pro_l, table, jnp.asarray(f_np), channels=True,
+            uniform=(f0u, dfu), band_runs=fz.band_runs,
+            band_offsets=jnp.asarray(fz.band_offsets),
+            bins_per_run=fz.bins_per_run,
+        )
+        assert all(np.isfinite(np.asarray(o)).all() for o in out)
+
+        live = (jnp.arange(pro_l.t_knots.shape[0]) < pro_l.n_live).astype(
+            jnp.float64
+        )
+        yp = spin_weighted_ylm(table.ls, table.ms, 0.72, 0.52)
+        ym = spin_weighted_ylm(table.ls, -table.ms, 0.72, 0.52)
+        power = mode_power(
+            pro_l.a_re, pro_l.a_im, yp[0], yp[1], ym[0], ym[1], dt_weights=live
+        )
+        assert float(coverage_of(fz, power)) > 1.0 - 1.25e-2
+
+        # frozen banded output matches the general kernel away from edges;
+        # sample inside the occupied band (short signals put all content in
+        # a thin slice of the grid)
+        occupied = np.nonzero(np.abs(np.asarray(out[0])) > 0)[0]
+        sub = np.arange(occupied[0], occupied[-1], 7)
+        gen = fd_waveform_core(pro_l, table, jnp.asarray(f_np[sub]), channels=True)
+        b = np.asarray(out[0])[sub]
+        g = np.asarray(gen[0])
+        scale = np.sqrt(np.mean(b**2)) + 1e-300
+        # percent-level: the subset includes band-edge bins (documented
+        # O(run_df) envelope offsets); interior bins agree to ~1e-5
+        assert np.sqrt(np.mean((b - g) ** 2)) / scale < 3e-2
