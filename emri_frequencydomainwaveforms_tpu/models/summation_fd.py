@@ -76,10 +76,14 @@ plunging harmonics) in extra slots, traversing nodes in reverse time with
 the conjugated Bessel factor; the two branches' K_{1/3} factors sum to the
 Airy caustic behavior at the fold (validated against brute-force
 oscillatory integrals of a synthetic quadratic fold in
-``tests/test_turnover.py``). Negative-frequency ranges (direct-term
-stationary points) remain out of scope. The banded uniform kernel keeps
-the single-branch band truncation (turnover content is a near-fold
-sliver; production full-grid scoring is dominated by the chirp band).
+``tests/test_turnover.py``). With ``negative_slots > 0`` it also covers
+NEGATIVE-frequency ranges (f_mn(t) < 0), whose radiation at +|f| comes
+from the DIRECT term: under U = -Phi that term obeys this same kernel
+with negated phase coefficients, conj-flipped amplitudes, and conjugated
+weight pairs (validated against the golden scipy pipeline on the
+mirrored phase). The banded uniform kernel keeps the single-branch band
+truncation (turnover/negative content is a small fraction of total
+power; production full-grid scoring is dominated by the chirp band).
 """
 
 from __future__ import annotations
@@ -134,6 +138,18 @@ class FDKernelInputs(NamedTuple):
     dec_hi: jax.Array
     dec_live: jax.Array
     power: jax.Array  # (k_max,) selection power (ranks turnover slots)
+    # --- NEGATIVE-frequency branch windows (direct-term radiation) ---
+    # ranges where f_mn(t) < 0 radiate through the DIRECT term; under the
+    # substitution U = -Phi they obey the partner-term kernel verbatim with
+    # (m, n) -> (-m, -n), conj-flipped amplitudes, and the neg weight pairs
+    # below (first increasing run of g = -f where g > 0)
+    neg_lo: jax.Array
+    neg_hi: jax.Array
+    neg_live: jax.Array
+    w1n_re: jax.Array  # neg-branch output weights (zeros when not provided)
+    w1n_im: jax.Array
+    w2n_re: jax.Array
+    w2n_im: jax.Array
 
 
 def prepare_fd_inputs(
@@ -147,6 +163,8 @@ def prepare_fd_inputs(
     sel: SelectedModes,
     w1: tuple[jax.Array, jax.Array],  # per-CANDIDATE-mode weights (M,) re/im
     w2: tuple[jax.Array, jax.Array],
+    w1n: tuple[jax.Array, jax.Array] | None = None,  # negative-branch weights
+    w2n: tuple[jax.Array, jax.Array] | None = None,
 ) -> FDKernelInputs:
     """Fit shared splines and compact per-mode arrays for `fd_mode_sum`."""
     # not-a-knot: a natural BC would force Phi'' = 0 at the ends, i.e. a
@@ -214,6 +232,11 @@ def prepare_fd_inputs(
     inc_live = sel.mask * inc_ok.astype(t_knots.dtype)
     dec_live = sel.mask * dec_ok.astype(t_knots.dtype)
 
+    # negative-frequency branch: increasing runs of g = -f where g > 0
+    neg_seg = (f_knots_all[:, :-1] < 0.0) & (f_knots_all[:, 1:] < 0.0)
+    neg_lo, neg_hi, neg_ok = _first_run((df < 0.0) & live_seg & neg_seg)
+    neg_live = sel.mask * neg_ok.astype(t_knots.dtype)
+
     return FDKernelInputs(
         t_knots=t_knots,
         c_phi_phi=sp_pp.c,
@@ -238,6 +261,13 @@ def prepare_fd_inputs(
         dec_hi=dec_hi,
         dec_live=dec_live,
         power=sel.power,
+        neg_lo=neg_lo,
+        neg_hi=neg_hi,
+        neg_live=neg_live if w1n is not None else jnp.zeros_like(neg_live),
+        w1n_re=jnp.take(w1n[0], sel.idx) if w1n is not None else jnp.zeros_like(m_sel),
+        w1n_im=jnp.take(w1n[1], sel.idx) if w1n is not None else jnp.zeros_like(m_sel),
+        w2n_re=jnp.take(w2n[0], sel.idx) if w2n is not None else jnp.zeros_like(m_sel),
+        w2n_im=jnp.take(w2n[1], sel.idx) if w2n is not None else jnp.zeros_like(m_sel),
     )
 
 
@@ -246,6 +276,7 @@ def fd_mode_sum(
     f_pos: jax.Array,
     nodes_per_segment: int = 32,
     turnover_slots: int = 0,
+    negative_slots: int = 0,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Accumulate sum_i C_i(f) * W1_i and * W2_i over the selected modes.
 
@@ -255,6 +286,12 @@ def fd_mode_sum(
     the uniform Bessel correction — the K_{1/3} factor of the two branches
     sums to the Airy fold behavior near fdot = 0). Slots are assigned to
     the highest-power turnover modes; 0 keeps the single-branch cost.
+
+    ``negative_slots``: static budget for NEGATIVE-frequency ranges
+    (f_mn(t) < 0), which radiate at +|f| through the DIRECT term. Under
+    U = -Phi the direct term matches the partner-term kernel exactly with
+    negated phase coefficients, conj-flipped amplitudes, and the
+    w1n/w2n weight pairs (prepare_fd_inputs must receive w1n/w2n).
 
     Two-level evaluation (the TPU-native reshaping of the reference's
     per-bin CUDA loop):
@@ -494,6 +531,23 @@ def fd_mode_sum(
             -jnp.ones((pick.shape[0],), jnp.int32),  # dirn = -1
         ]
         slots = [jnp.concatenate([a, b], axis=0) for a, b in zip(slots, extra)]
+    if negative_slots > 0:
+        score_n = inp.neg_live * (inp.power + 1e-300)
+        _, pick_n = jax.lax.top_k(score_n, min(negative_slots, k_max))
+        extra_n = [
+            -jnp.take(cphi_all, pick_n, axis=0),  # U = -Phi
+            jnp.take(inp.ar_c, pick_n, axis=0),
+            -jnp.take(inp.ai_c, pick_n, axis=0),  # A in place of conj(A)
+            jnp.take(inp.w1n_re, pick_n),
+            jnp.take(inp.w1n_im, pick_n),
+            jnp.take(inp.w2n_re, pick_n),
+            jnp.take(inp.w2n_im, pick_n),
+            jnp.take(inp.neg_live, pick_n),
+            jnp.take(inp.neg_lo, pick_n),
+            jnp.take(inp.neg_hi, pick_n),
+            jnp.ones((pick_n.shape[0],), jnp.int32),  # g = -f increases
+        ]
+        slots = [jnp.concatenate([a, b], axis=0) for a, b in zip(slots, extra_n)]
     (o1r, o1i, o2r, o2i), _ = jax.lax.scan(
         body, (zero, zero, zero, zero), tuple(slots)
     )

@@ -156,6 +156,7 @@ def fd_waveform_core(
     bins_per_run: int = 64,
     band_offsets=None,
     turnover_slots: int = 0,
+    negative_slots: int = 0,
 ):
     """FD waveform on positive frequencies.
 
@@ -181,10 +182,17 @@ def fd_waveform_core(
         # W1 = (sigma Y^- + conj(Y^+))/2 ; W2 = i (sigma Y^- - conj(Y^+))/2
         w1 = ((sig * ymr + ypr) * 0.5, (sig * ymi - ypi) * 0.5)
         w2 = (-(sig * ymi + ypi) * 0.5, (sig * ymr - ypr) * 0.5)
+        # negative-frequency (direct-term) branch weights: conj(w1), conj(w2)
+        w1n = (w1[0], -w1[1])
+        w2n = (w2[0], -w2[1])
     else:
         # W1 = sigma Y^-  (htilde at +f); W2 = conj(Y^+) (conj of htilde at -f)
         w1 = (sig * ymr, sig * ymi)
         w2 = (ypr, -ypi)
+        # scalar neg-branch: htilde(+f) += C~ Y^+ and conj(htilde(-f)) +=
+        # C~ sigma conj(Y^-)  ->  (conj(w2), conj(w1))
+        w1n = (ypr, ypi)
+        w2n = (sig * ymr, -sig * ymi)
 
     inp = prepare_fd_inputs(
         pro.t_knots,
@@ -197,6 +205,8 @@ def fd_waveform_core(
         pro.sel,
         w1,
         w2,
+        w1n=w1n,
+        w2n=w2n,
     )
     if uniform is not None:
         f0, dfreq = uniform
@@ -217,7 +227,10 @@ def fd_waveform_core(
             band_offsets=band_offsets,
         )
     else:
-        o1r, o1i, o2r, o2i = fd_mode_sum(inp, f_pos, turnover_slots=turnover_slots)
+        o1r, o1i, o2r, o2i = fd_mode_sum(
+            inp, f_pos, turnover_slots=turnover_slots,
+            negative_slots=negative_slots,
+        )
     d = pro.dist_factor
     return o1r * d, o1i * d, o2r * d, o2i * d
 

@@ -68,6 +68,13 @@ def _synthetic_fold_inputs(fc=1e-3, b=1e-14, tc=5e5, T=1e6, K=64):
         dec_hi=jnp.asarray([K - 1], jnp.int32),
         dec_live=one,
         power=one,
+        neg_lo=jnp.asarray([0], jnp.int32),
+        neg_hi=jnp.asarray([0], jnp.int32),
+        neg_live=jnp.zeros((1,)),
+        w1n_re=jnp.zeros((1,)),
+        w1n_im=jnp.zeros((1,)),
+        w2n_re=jnp.zeros((1,)),
+        w2n_im=jnp.zeros((1,)),
     ), (fc, b, tc, T)
 
 
@@ -143,5 +150,83 @@ class TestPlungingSource:
             return fd_waveform_core(pro, table, f_pos, turnover_slots=2)
 
         out = jax.vmap(gen)(jnp.array([7.6, 8.0, 9.0]))
+        for o in out:
+            assert np.isfinite(np.asarray(o)).all()
+
+
+class TestNegativeFrequencyBranch:
+    """Negative-frequency (direct-term) radiation in the FD kernel.
+
+    Ranges where f_mn(t) < 0 radiate at +|f| through the DIRECT term
+    A Y^+ e^{-i Phi}; under U = -Phi this is the partner-term kernel with
+    negated phase coefficients, conj-flipped amplitudes, and the
+    conjugated weight pairs. Validated against the golden scipy pipeline
+    evaluated on the mirrored phase.
+    """
+
+    def test_matches_golden_on_mirrored_phase(self):
+        from scipy.interpolate import CubicSpline
+
+        from tests.test_golden_fd import _golden_fd_positive
+        from emri_frequencydomainwaveforms_tpu.models.modeselect import (
+            table_indices_for,
+        )
+
+        table = default_mode_table(12, l_max=2)
+        forced = table_indices_for(table, [(2, 2, -8)])  # f = 2 om_phi - 8 om_r < 0
+        pro = waveform_prologue(
+            1e6, 50.0, 10.0, 0.4, np.pi / 4, np.pi / 3, 1.0, 1.0, 2.0,
+            t_years=0.25, table=table, k_max=1, eps=1e-2, forced_idx=forced,
+        )
+        n = int(pro.n_live)
+        t = np.asarray(pro.t_knots)[:n]
+        phase = 2 * np.asarray(pro.phi_phi)[:n] - 8 * np.asarray(pro.phi_r)[:n]
+        g = -CubicSpline(t, phase).derivative()(t) / (2 * np.pi)
+        assert (g > 0).all()  # the mode is negative-frequency throughout
+        dg = np.diff(g)
+        stop = int(np.argmax(dg <= 0)) if (dg <= 0).any() else n - 1
+        assert stop > 20  # a substantial first increasing run of g = -f
+
+        idx = int(forced[0])
+        a_re = np.asarray(pro.a_re)[: stop + 1, idx]
+        a_im = np.asarray(pro.a_im)[: stop + 1, idx]
+        yp = np.asarray(pro.y_plus[0])[idx] + 1j * np.asarray(pro.y_plus[1])[idx]
+
+        nb = 1024
+        f_lo, f_hi = g[0], g[stop]
+        pad = (f_hi - f_lo) / nb
+        f_grid = np.linspace(f_lo + pad, f_hi - pad, nb)
+        golden = _golden_fd_positive(
+            t[: stop + 1], -phase[: stop + 1], a_re, -a_im, yp, f_grid
+        ) * float(pro.dist_factor)
+
+        o1 = fd_waveform_core(
+            pro, table, jnp.asarray(f_grid), channels=False, negative_slots=1
+        )
+        o0 = fd_waveform_core(
+            pro, table, jnp.asarray(f_grid), channels=False, negative_slots=0
+        )
+        ours = np.asarray(o1[0]) + 1j * np.asarray(o1[1])
+        base = np.asarray(o0[0]) + 1j * np.asarray(o0[1])
+        assert np.abs(base).max() == 0.0  # masked without negative slots
+        assert np.isfinite(ours).all()
+
+        h = np.hanning(nb)
+        num = np.abs(np.sum(h * np.conj(golden) * ours))
+        den = np.sqrt(
+            np.sum(h * np.abs(golden) ** 2) * np.sum(h * np.abs(ours) ** 2)
+        )
+        assert 1.0 - num / den < 1e-4
+
+    def test_channels_mode_finite(self):
+        table = default_mode_table(10, l_max=2)
+        f_pos = jnp.linspace(5e-4, 6e-3, 128)
+        pro = waveform_prologue(
+            1e6, 50.0, 9.0, 0.35, 0.7, 0.5, 1.0, 0.0, 0.0,
+            t_years=0.25, table=table, k_max=24, eps=1e-3,
+        )
+        out = fd_waveform_core(
+            pro, table, f_pos, channels=True, turnover_slots=2, negative_slots=4
+        )
         for o in out:
             assert np.isfinite(np.asarray(o)).all()
