@@ -10,6 +10,13 @@ from .moves.rj import DistributionGenerateRJ
 from .moves.stretch import StretchMove
 from .moves.tempering import TemperatureControl, make_ladder
 from .moves.tree import TreeGaussianMove, TreeStretchMove
+from .pipeline import (
+    InfoManager,
+    PipelineGuide,
+    PipelineModule,
+    ResidualUpdateModule,
+    SamplerModule,
+)
 from .prior import (
     MappedUniformDistribution,
     ProbDistContainer,
