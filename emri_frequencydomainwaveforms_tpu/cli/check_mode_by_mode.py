@@ -34,6 +34,13 @@ def build_parser():
                    help="draw one random (l,m,n) mode per point instead of eps-selection")
     p.add_argument("-outname", "--outname", type=str, default="check_mode_by_mode.h5")
     p.add_argument("--seed", type=int, default=2601996)
+    p.add_argument("-turnover_slots", "--turnover_slots", type=int, default=0,
+                   help="extra FD kernel slots for post-turnover branches")
+    p.add_argument("-negative_slots", "--negative_slots", type=int, default=0,
+                   help="extra FD kernel slots for negative-frequency ranges")
+    p.add_argument("-flux", "--flux", type=str, default="pm",
+                   choices=["pm", "multipole"],
+                   help="trajectory dissipation model")
     return p
 
 
@@ -58,9 +65,15 @@ def run_check(args) -> dict:
         }
     )
 
-    td_gen = GenerateEMRIWaveform(sum_kwargs=dict(odd_len=True), return_list=True)
+    td_gen = GenerateEMRIWaveform(
+        sum_kwargs=dict(odd_len=True, flux=args.flux), return_list=True
+    )
     fd_gen = GenerateEMRIWaveform(
-        sum_kwargs=dict(output_type="fd", odd_len=True), return_list=True
+        sum_kwargs=dict(
+            output_type="fd", odd_len=True, flux=args.flux,
+            turnover_slots=args.turnover_slots,
+            negative_slots=args.negative_slots,
+        ), return_list=True
     )
     noise = lambda f: np.asarray(
         get_sensitivity(np.asarray(f), sens_fn="cornish_lisa_psd")

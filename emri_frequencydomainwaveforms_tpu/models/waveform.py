@@ -278,7 +278,8 @@ def _assemble_channels(freq, hp_pos, hc_pos, symmetric):
     return hp, hc
 
 
-def fd_scalar_on_grid(pro: WaveformPrologue, table: ModeTable, freq: jax.Array):
+def fd_scalar_on_grid(pro: WaveformPrologue, table: ModeTable, freq: jax.Array,
+                      turnover_slots: int = 0, negative_slots: int = 0):
     """Scalar htilde = FT(h+ - i hx) on an arbitrary signed frequency grid.
 
     Evaluates the kernel once at |f| per bin (both branches come out of the
@@ -290,7 +291,10 @@ def fd_scalar_on_grid(pro: WaveformPrologue, table: ModeTable, freq: jax.Array):
     # the two-level kernel requires ascending frequencies; sort + unsort
     order = jnp.argsort(f_abs)
     inv = jnp.argsort(order)
-    pr, pi, nr, ni = fd_waveform_core(pro, table, f_abs[order], channels=False)
+    pr, pi, nr, ni = fd_waveform_core(
+        pro, table, f_abs[order], channels=False,
+        turnover_slots=turnover_slots, negative_slots=negative_slots,
+    )
     pr, pi, nr, ni = pr[inv], pi[inv], nr[inv], ni[inv]
     pos = freq > 0
     neg = freq < 0
@@ -299,7 +303,8 @@ def fd_scalar_on_grid(pro: WaveformPrologue, table: ModeTable, freq: jax.Array):
     return re, im
 
 
-def fd_channels_on_grid(pro: WaveformPrologue, table: ModeTable, freq: jax.Array):
+def fd_channels_on_grid(pro: WaveformPrologue, table: ModeTable, freq: jax.Array,
+                        turnover_slots: int = 0, negative_slots: int = 0):
     """[h+~, hx~] on an arbitrary signed grid (reality fills f<0 bins).
 
     Returns ((hp_re, hp_im), (hc_re, hc_im)).
@@ -308,7 +313,10 @@ def fd_channels_on_grid(pro: WaveformPrologue, table: ModeTable, freq: jax.Array
     # the two-level kernel requires ascending frequencies; sort + unsort
     order = jnp.argsort(f_abs)
     inv = jnp.argsort(order)
-    hpr, hpi, hcr, hci = fd_waveform_core(pro, table, f_abs[order], channels=True)
+    hpr, hpi, hcr, hci = fd_waveform_core(
+        pro, table, f_abs[order], channels=True,
+        turnover_slots=turnover_slots, negative_slots=negative_slots,
+    )
     hpr, hpi, hcr, hci = hpr[inv], hpi[inv], hcr[inv], hci[inv]
     pos = freq > 0
     neg = freq < 0
@@ -509,6 +517,11 @@ class FastSchwarzschildEccentricFlux:
         self.output_type = sum_kwargs.get("output_type", "td")
         self.odd_len = sum_kwargs.get("odd_len", True)
         self.pad_output = sum_kwargs.get("pad_output", False)
+        # turnover/negative-frequency branch budgets for the general FD
+        # kernel (arbitrary f_arr path); 0 = single-branch behavior
+        self.turnover_slots = int(sum_kwargs.get("turnover_slots", 0))
+        self.negative_slots = int(sum_kwargs.get("negative_slots", 0))
+        self.flux = sum_kwargs.get("flux", "pm")
         self.table = default_mode_table(n_max, l_max=l_max)
         self.k_max = k_max
         self.frequency = None
@@ -540,7 +553,7 @@ class FastSchwarzschildEccentricFlux:
             M, mu, p0, e0, theta, phi, dist, Phi_phi0, Phi_r0,
             t_years=float(T), table=self.table,
             k_max=len(forced) if forced is not None else self.k_max,
-            eps=eps, forced_idx=forced,
+            eps=eps, forced_idx=forced, flux=self.flux,
         )
         if self.output_type == "td":
             t_grid = jnp.asarray(default_time_grid(float(T), float(dt)))
@@ -577,14 +590,22 @@ class FastSchwarzschildEccentricFlux:
                 return out[freq >= 0]
             return out
         if return_channels:
-            (hpr, hpi), (hcr, hci) = fd_channels_on_grid(pro, self.table, jnp.asarray(freq))
+            (hpr, hpi), (hcr, hci) = fd_channels_on_grid(
+                pro, self.table, jnp.asarray(freq),
+                turnover_slots=self.turnover_slots,
+                negative_slots=self.negative_slots,
+            )
             hp = np.asarray(hpr) + 1j * np.asarray(hpi)
             hc = np.asarray(hcr) + 1j * np.asarray(hci)
             if mask_positive:
                 keep = freq >= 0
                 return [hp[keep], hc[keep]]
             return [hp, hc]
-        h = fd_scalar_on_grid(pro, self.table, jnp.asarray(freq))
+        h = fd_scalar_on_grid(
+            pro, self.table, jnp.asarray(freq),
+            turnover_slots=self.turnover_slots,
+            negative_slots=self.negative_slots,
+        )
         out = np.asarray(h[0]) + 1j * np.asarray(h[1])
         if mask_positive:
             return out[freq >= 0]
