@@ -4,11 +4,14 @@ from .diagnostic import (
     covariance,
     cutler_vallisneri_bias,
     fisher,
+    get_eigens,
     get_mismatch,
     inner_product,
     overlap,
     scale_snr,
     snr,
+    vallisneri_criterion,
+    vallisneri_criterion_cdf,
 )
 from .likelihood import GlobalLikelihood, Likelihood
 from .noise import generate_noise_fd
@@ -19,8 +22,10 @@ from .sensitivity import (
     get_sensitivity,
     lisasens,
     noisepsd_AE,
+    noisepsd_AE2,
     noisepsd_T,
     noisepsd_X,
+    noisepsd_X2,
     sensitivity_from_table,
 )
 
@@ -32,6 +37,9 @@ __all__ = [
     "covariance",
     "get_mismatch",
     "cutler_vallisneri_bias",
+    "get_eigens",
+    "vallisneri_criterion",
+    "vallisneri_criterion_cdf",
     "scale_snr",
     "Likelihood",
     "GlobalLikelihood",
@@ -40,7 +48,9 @@ __all__ = [
     "cornish_lisa_psd",
     "lisasens",
     "noisepsd_X",
+    "noisepsd_X2",
     "noisepsd_AE",
+    "noisepsd_AE2",
     "noisepsd_T",
     "AET",
     "TDIf",

@@ -160,6 +160,105 @@ def mismatch_criterion(waveform_fn, params, cov, n_draws: int = 100, seed: int =
     return np.asarray(out)
 
 
+def get_eigens(arr, high_precision: bool = False):
+    """Eigen-decomposition of a Fisher/covariance matrix (reference
+    ``diagnostic.py:646``). The reference's optional mpmath 500-dps branch
+    is replaced by symmetric ``eigh`` (Fisher matrices are symmetric, so
+    eigh is both exact in structure and better conditioned than the
+    reference's general ``eig``)."""
+    del high_precision  # mpmath branch intentionally not reproduced
+    return np.linalg.eigh(np.asarray(arr, dtype=np.float64))
+
+
+def vallisneri_criterion(
+    waveform_fn,
+    params,
+    fish=None,
+    eps=None,
+    eigens=None,
+    rng=None,
+    **ip_kwargs,
+):
+    """One draw of the Vallisneri (2008) maximum-mismatch ratio criterion
+    (reference ``diagnostic.py:489`` with ``fish``/``eigens`` supplied).
+
+    Displaces the parameters by a random point on the Fisher 1-sigma
+    isoprobability contour, ``delta = sum_l x_l v_l / sqrt(w_l)`` with x a
+    unit vector, and compares the true overlap against the Fisher
+    (quadratic) prediction:
+
+      ratio = overlap(h(p + delta), h(p)) / (1 - 0.5 delta^T G delta / <h|h>)
+
+    Returns (mismatch, ratio) with mismatch = (1 - overlap)/2.
+    """
+    params = np.asarray(params, dtype=np.float64)
+    rng = np.random.default_rng(rng) if not isinstance(rng, np.random.Generator) else rng
+    if fish is None:
+        if eps is None:
+            raise ValueError("supply fish or eps for Fisher generation")
+        fish = fisher(waveform_fn, params, eps, **ip_kwargs)
+    w, v = eigens if eigens is not None else get_eigens(fish)
+
+    d = len(params)
+    u = rng.standard_normal(d)
+    x = u / np.linalg.norm(u)
+    vec_delta = (v / np.sqrt(np.maximum(w, 1e-300))[None, :]) @ x
+
+    h_true = _as_channel_list(waveform_fn(params))
+    h_delta = _as_channel_list(waveform_fn(params + vec_delta))
+    over = inner_product(h_delta, h_true, normalize=True, **ip_kwargs)
+    prod = float(vec_delta @ fish @ vec_delta)
+    norm_true = inner_product(h_true, h_true, **ip_kwargs)
+    ratio = over / (1.0 - 0.5 * prod / norm_true)
+    return (1.0 - over) / 2.0, ratio
+
+
+def vallisneri_criterion_cdf(
+    waveform_fn,
+    params,
+    eps=None,
+    num_samples: int = 100,
+    return_cdf: bool = True,
+    return_ratios: bool = False,
+    fish=None,
+    seed: int = 0,
+    **ip_kwargs,
+):
+    """CDF of |ln r| over 1-sigma contour draws and its 90th percentile
+    (reference ``diagnostic.py:686``). Vallisneri's fitting-factor test: the
+    Fisher approximation is trustworthy when the 90th-percentile |ln r| is
+    well below unity.
+
+    Returns ``(r_at_90[, quantiles, cdf][, ratios])`` matching the
+    reference's flag-dependent tuple.
+    """
+    params = np.asarray(params, dtype=np.float64)
+    if fish is None:
+        if eps is None:
+            raise ValueError("supply fish or eps for Fisher generation")
+        fish = fisher(waveform_fn, params, eps, **ip_kwargs)
+    eigens = get_eigens(fish)
+    rng = np.random.default_rng(seed)
+
+    ratios = np.empty(num_samples)
+    for j in range(num_samples):
+        _, ratio = vallisneri_criterion(
+            waveform_fn, params, fish=fish, eigens=eigens, rng=rng, **ip_kwargs
+        )
+        ratios[j] = abs(np.log(ratio))
+
+    quantiles, counts = np.unique(ratios, return_counts=True)
+    cdf = np.cumsum(counts).astype(np.float64) / ratios.size
+    r_at_90 = float(np.interp(0.9, cdf, quantiles))
+
+    out = (r_at_90,)
+    if return_cdf:
+        out += (quantiles, cdf)
+    if return_ratios:
+        out += (ratios,)
+    return out
+
+
 def cutler_vallisneri_bias(
     waveform_true_fn, waveform_approx_fn, params, eps, return_fisher=False, **ip_kwargs
 ):
@@ -200,6 +299,9 @@ __all__ = [
     "fisher",
     "covariance",
     "mismatch_criterion",
+    "get_eigens",
+    "vallisneri_criterion",
+    "vallisneri_criterion_cdf",
     "cutler_vallisneri_bias",
     "scale_snr",
 ]

@@ -165,6 +165,33 @@ def noisepsd_AE(f, model: str = "SciRDv1", t_obs_years: float = 4.0, include_con
     return psd
 
 
+def noisepsd_X2(f, model: str = "SciRDv1"):
+    """Second-generation TDI X2 PSD (reference ``sensitivity.py:461``).
+
+    The 2nd-gen (time-varying-armlength-immune) combination applies one more
+    round of delayed differencing, multiplying the 1st-gen response by the
+    extra transfer factor 4 sin^2(2x): the reference's expanded form
+    ``64 sin^2 x sin^2 2x Sop + 256 (3 + cos 2x) cos^2 x sin^4 x Spm`` is
+    algebraically identical (``256(3 + cos2x)cos^2 x sin^4 x =
+    4 sin^2 2x * 32 sin^2 x (1 + cos^2 x)``), which the tests pin.
+    """
+    x, _, _ = _tdi_xs(f, model)
+    xp = _xp(f)
+    return 4.0 * xp.sin(2.0 * x) ** 2 * noisepsd_X(f, model)
+
+
+def noisepsd_AE2(f, model: str = "SciRDv1", t_obs_years: float = 4.0, include_confusion: bool = False):
+    """Second-generation TDI A2/E2 PSD (reference ``sensitivity.py:545``):
+    ``32 sin^2 x sin^2 2x (2 Spm (3 + 2cos x + cos 2x) + Sop (2 + cos x))``
+    = 4 sin^2(2x) * noisepsd_AE."""
+    x, _, _ = _tdi_xs(f, model)
+    xp = _xp(f)
+    psd = 4.0 * xp.sin(2.0 * x) ** 2 * noisepsd_AE(f, model)
+    if include_confusion:
+        psd = psd + 4.0 * xp.sin(2.0 * x) ** 2 * wd_confusion_AE(f, t_obs_years)
+    return psd
+
+
 def noisepsd_T(f, model: str = "SciRDv1"):
     """TDI T (null-channel) PSD."""
     x, spm, sop = _tdi_xs(f, model)
@@ -208,6 +235,8 @@ _SENS_FNS = {
     "noisepsd_X": noisepsd_X,
     "noisepsd_XY": noisepsd_XY,
     "noisepsd_AE": noisepsd_AE,
+    "noisepsd_X2": noisepsd_X2,
+    "noisepsd_AE2": noisepsd_AE2,
     "noisepsd_T": noisepsd_T,
 }
 
@@ -256,6 +285,8 @@ __all__ = [
     "noisepsd_X",
     "noisepsd_XY",
     "noisepsd_AE",
+    "noisepsd_X2",
+    "noisepsd_AE2",
     "noisepsd_T",
     "wd_confusion_X",
     "wd_confusion_AE",

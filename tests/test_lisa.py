@@ -8,16 +8,22 @@ from emri_frequencydomainwaveforms_tpu.lisa.sensitivity import (
     AET,
     cornish_lisa_psd,
     get_sensitivity,
+    lisanoises,
     lisasens,
     noisepsd_AE,
+    noisepsd_AE2,
     noisepsd_T,
     noisepsd_X,
+    noisepsd_X2,
 )
 from emri_frequencydomainwaveforms_tpu.lisa.diagnostic import (
     fisher,
+    get_eigens,
     get_mismatch,
     inner_product,
     snr,
+    vallisneri_criterion,
+    vallisneri_criterion_cdf,
 )
 from emri_frequencydomainwaveforms_tpu.lisa.likelihood import Likelihood, df_vector
 from emri_frequencydomainwaveforms_tpu.utils.transform import TransformContainer
@@ -45,6 +51,34 @@ class TestSensitivity:
         np.testing.assert_allclose(np.asarray(asd) ** 2, np.asarray(psd), rtol=1e-12)
         cs = get_sensitivity(f, sens_fn="lisasens", return_type="char_strain")
         np.testing.assert_allclose(np.asarray(cs) ** 2, np.asarray(f * psd), rtol=1e-12)
+
+    def test_second_generation_tdi(self):
+        # the 2nd-gen PSDs must equal the reference's expanded forms
+        # (sensitivity.py:461, :545): X2 = 64 sin^2 x sin^2 2x Sop
+        # + 256 (3 + cos 2x) cos^2 x sin^4 x Spm, and the AE analogue
+        f = np.logspace(-4, -1, 60)
+        from emri_frequencydomainwaveforms_tpu.lisa.sensitivity import C_SI, L_ARM
+
+        x = 2.0 * np.pi * L_ARM / C_SI * f
+        spm, sop = lisanoises(f)
+        x2_expect = 64.0 * np.sin(x) ** 2 * np.sin(2 * x) ** 2 * sop + 256.0 * (
+            3.0 + np.cos(2 * x)
+        ) * np.cos(x) ** 2 * np.sin(x) ** 4 * spm
+        np.testing.assert_allclose(noisepsd_X2(f), x2_expect, rtol=1e-12)
+        ae2_expect = (
+            32.0
+            * np.sin(x) ** 2
+            * np.sin(2 * x) ** 2
+            * (2.0 * spm * (3.0 + 2.0 * np.cos(x) + np.cos(2 * x)) + sop * (2.0 + np.cos(x)))
+        )
+        np.testing.assert_allclose(noisepsd_AE2(f), ae2_expect, rtol=1e-12)
+        # dispatcher wiring
+        np.testing.assert_allclose(
+            np.asarray(get_sensitivity(f, sens_fn="noisepsd_X2")), x2_expect, rtol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(get_sensitivity(f, sens_fn="noisepsd_AE2")), ae2_expect, rtol=1e-12
+        )
 
     def test_aet(self):
         x, y, z = np.array([1.0]), np.array([2.0]), np.array([3.0])
@@ -82,6 +116,51 @@ class TestInnerProduct:
         gamma = fisher(wf, np.array([2.0]), 1e-6, f_arr=f, PSD=lambda ff: np.ones_like(ff))
         expect = inner_product([g], [g], f_arr=f, PSD=lambda ff: np.ones_like(ff))
         np.testing.assert_allclose(gamma[0, 0], expect, rtol=1e-6)
+
+
+class TestVallisneriCriterion:
+    def _linear_model(self):
+        # h(f; a, b) = (a g1 + b g2): EXACTLY linear in the parameters, so
+        # the Fisher quadratic is exact, overlap == prediction, and
+        # |ln r| ~ 0 up to the overlap's own quadratic truncation
+        f = np.linspace(1e-3, 1e-2, 300)
+        g1 = 1e-20 * np.exp(2j * np.pi * f * 5e3)
+        g2 = 1e-20 * np.exp(2j * np.pi * f * 9e3)
+
+        def wf(p):
+            return [p[0] * g1 + p[1] * g2]
+
+        # PSD scaled for SNR ~ a few hundred: the 1-sigma contour is then a
+        # genuinely small displacement and the Fisher quadratic is testable
+        kw = dict(f_arr=f, PSD=lambda ff: np.ones_like(ff) * 1e-45)
+        return wf, np.array([3.0, 1.5]), kw
+
+    def test_eigens_symmetric(self):
+        wf, p, kw = self._linear_model()
+        gamma = fisher(wf, p, 1e-7, **kw)
+        w, v = get_eigens(gamma)
+        np.testing.assert_allclose(v @ np.diag(w) @ v.T, gamma, rtol=1e-8)
+
+    def test_single_draw_ratio_near_one(self):
+        wf, p, kw = self._linear_model()
+        gamma = fisher(wf, p, 1e-7, **kw)
+        mism, ratio = vallisneri_criterion(wf, p, fish=gamma, rng=1, **kw)
+        assert 0.0 <= mism < 0.1
+        # linear model: ratio deviates from 1 only at O(mismatch^2)
+        assert abs(np.log(ratio)) < 0.02
+
+    def test_cdf_shapes_and_r90(self):
+        wf, p, kw = self._linear_model()
+        gamma = fisher(wf, p, 1e-7, **kw)
+        r90, quantiles, cdf, ratios = vallisneri_criterion_cdf(
+            wf, p, fish=gamma, num_samples=40, return_ratios=True, seed=3, **kw
+        )
+        assert ratios.shape == (40,)
+        assert len(quantiles) == len(cdf)
+        assert np.all(np.diff(cdf) > 0) or len(cdf) == 1
+        assert 0.0 <= r90 < 0.05  # Fisher is trustworthy for a linear model
+        # r90 is the 90th percentile of the drawn |ln r| values
+        assert r90 <= ratios.max() + 1e-15
 
 
 class TestLikelihood:
