@@ -5,8 +5,9 @@ from .backends.memory import Backend
 from .ensemble import EnsembleSampler
 from .moves.gaussian import GaussianMove, MHMove
 from .moves.group import CombineMove, DelayedRejectionMove, GroupStretchMove
-from .moves.mt import MTDistGenMove
-from .moves.rj import DistributionGenerateRJ
+from .moves.distgen import DistributionGenerate
+from .moves.mt import MTDistGenMove, MTDistGenMoveRJ
+from .moves.rj import DelayedRejectionRJ, DistributionGenerateRJ
 from .moves.stretch import StretchMove
 from .moves.tempering import TemperatureControl, make_ladder
 from .moves.tree import TreeGaussianMove, TreeStretchMove
@@ -38,6 +39,9 @@ __all__ = [
     "GaussianMove",
     "MHMove",
     "DistributionGenerateRJ",
+    "DistributionGenerate",
+    "MTDistGenMoveRJ",
+    "DelayedRejectionRJ",
     "TemperatureControl",
     "make_ladder",
     "ProbDistContainer",

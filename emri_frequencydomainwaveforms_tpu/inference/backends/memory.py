@@ -156,6 +156,12 @@ class Backend:
     def swap_acceptance_fraction(self):
         return self._swaps_accepted / max(self.iteration, 1)
 
+    @property
+    def rj_acceptance_fraction(self):
+        """Per-(temp, walker-averaged) RJ acceptance (reference backend's
+        per-move acceptance tracking, ``backend.py:816``)."""
+        return self._rj_accepted / max(self.iteration, 1)
+
     def get_autocorr_time(self, discard: int = 0, thin: int = 1, c: float = 5.0, **kwargs):
         from ...utils.autocorr import get_integrated_act
 

@@ -2,8 +2,9 @@
 
 from .gaussian import GaussianMove, MHMove
 from .group import CombineMove, DelayedRejectionMove, GroupStretchMove
-from .mt import MTDistGenMove
-from .rj import DistributionGenerateRJ
+from .distgen import DistributionGenerate
+from .mt import MTDistGenMove, MTDistGenMoveRJ
+from .rj import DelayedRejectionRJ, DistributionGenerateRJ
 from .stretch import StretchMove
 from .tempering import TemperatureControl, make_ladder
 from .tree import TreeGaussianMove, TreeStretchMove
@@ -15,6 +16,9 @@ __all__ = [
     "DelayedRejectionMove",
     "GroupStretchMove",
     "MTDistGenMove",
+    "MTDistGenMoveRJ",
+    "DistributionGenerate",
+    "DelayedRejectionRJ",
     "DistributionGenerateRJ",
     "StretchMove",
     "TemperatureControl",

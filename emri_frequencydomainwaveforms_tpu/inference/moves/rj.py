@@ -48,6 +48,10 @@ class DistributionGenerateRJ:
         self.nleaves_min = nleaves_min
         self.nleaves_max = nleaves_max
 
+    def _make_sub(self, prior_b, lo, hi):
+        """Per-branch sub-mover factory (overridden by DelayedRejectionRJ)."""
+        return DistributionGenerateRJ(prior_b, nleaves_min=lo, nleaves_max=hi)
+
     def propose_tree(self, key, coords: dict, inds: dict, log_like, log_prior,
                      betas, logp_fn, logl_fn):
         """Tree-contract RJ: per-branch birth/death, sequential accepts.
@@ -66,7 +70,7 @@ class DistributionGenerateRJ:
             prior_b = priors[name]
             lo = self.nleaves_min[name] if isinstance(self.nleaves_min, dict) else self.nleaves_min
             hi = self.nleaves_max[name] if isinstance(self.nleaves_max, dict) else self.nleaves_max
-            sub = DistributionGenerateRJ(prior_b, nleaves_min=lo, nleaves_max=hi)
+            sub = self._make_sub(prior_b, lo, hi)
 
             def logl_branch(c_b, i_b, _name=name):
                 c_all = {**coords, _name: c_b}
@@ -176,4 +180,114 @@ class DistributionGenerateRJ:
         return jnp.sum(jnp.where(inds, lp_leaf, 0.0), axis=-1)
 
 
-__all__ = ["DistributionGenerateRJ"]
+class DelayedRejectionRJ(DistributionGenerateRJ):
+    """RJ birth/death with delayed rejection on rejected births.
+
+    Rebuilds Eryn's RJ-specific ``DelayedRejection`` (reference
+    ``Eryn/eryn/moves/delayedrejection.py:31``: "We apply the DR algorithm
+    only on the cases where we have rejected a +1 proposal"): after the
+    standard birth/death stage, walkers whose BIRTH was rejected redraw the
+    born leaf up to ``max_iter`` times, each stage accepted with the
+    Tierney-Mira recursion the reference implements at ``:100-113``:
+
+      alpha_1(y_k)  = min(1, exp(lndiff_k))
+      dr_alpha(y_k) = min(1, exp(lndiff_k + log(1 - alpha_1(y_k))
+                                          - log(1 - past_alpha)))
+
+    with ``past_alpha`` the previous stage's dr_alpha (stage 0: the plain
+    acceptance probability) and NaNs auto-rejected. Prior-draw births keep
+    the prior/proposal cancellation, so ``lndiff_k`` carries only the
+    leaf-count combinatorics plus the tempered likelihood delta — each DR
+    stage costs one batched likelihood call.
+    """
+
+    def __init__(self, prior, nleaves_min=0, nleaves_max=1, max_iter: int = 5):
+        super().__init__(prior, nleaves_min=nleaves_min, nleaves_max=nleaves_max)
+        self.max_iter = int(max_iter)
+
+    def _make_sub(self, prior_b, lo, hi):
+        return DelayedRejectionRJ(
+            prior_b, nleaves_min=lo, nleaves_max=hi, max_iter=self.max_iter
+        )
+
+    def _propose_arrays(self, key, coords, inds, log_like, log_prior, betas,
+                        logl_fn, logp_fn):
+        ntemps, nwalkers, nleaves_max, ndim = coords.shape
+        key, k0 = jax.random.split(key)
+
+        # ---- stage 0: standard birth/death, tracking rejected births ----
+        k_bd, k_slot, k_draw, k_u = jax.random.split(k0, 4)
+        n_active = jnp.sum(inds, axis=-1)
+        can_birth = n_active < self.nleaves_max
+        can_death = n_active > self.nleaves_min
+        do_birth = jnp.where(
+            can_birth & can_death,
+            jax.random.uniform(k_bd, (ntemps, nwalkers)) < 0.5,
+            can_birth,
+        )
+        u_slot = jax.random.uniform(k_slot, (ntemps, nwalkers, nleaves_max))
+        score_birth = jnp.where(inds, -jnp.inf, u_slot)
+        score_death = jnp.where(inds, u_slot, -jnp.inf)
+        slot = jnp.where(
+            do_birth, jnp.argmax(score_birth, axis=-1), jnp.argmax(score_death, axis=-1)
+        )
+        onehot = jax.nn.one_hot(slot, nleaves_max, dtype=bool)
+
+        n_inactive = nleaves_max - n_active
+        factors_birth = jnp.log(jnp.maximum(n_inactive, 1)) - jnp.log(n_active + 1.0)
+        factors_death = jnp.log(jnp.maximum(n_active, 1)) - jnp.log(n_inactive + 1.0)
+        factors = jnp.where(do_birth, factors_birth, factors_death)
+        legal = jnp.where(do_birth, can_birth, can_death)
+
+        def eval_candidate(k_draw_i):
+            u = jax.random.uniform(k_draw_i, (ntemps, nwalkers, ndim))
+            new_leaf = self._ppf(u)
+            inds_new = jnp.where(do_birth[..., None], inds | onehot, inds & ~onehot)
+            coords_new = jnp.where(
+                (do_birth[..., None] & onehot)[..., None],
+                new_leaf[..., None, :],
+                coords,
+            )
+            if logp_fn is not None:
+                lp_new = logp_fn(coords_new, inds_new)
+            else:
+                lp_new = self._leaf_logprior(coords_new, inds_new)
+            ll_new = logl_fn(coords_new, inds_new)
+            ll_new = jnp.where(jnp.isnan(ll_new), -1e300, ll_new)
+            lndiff = factors + betas[:, None] * (ll_new - log_like)
+            return coords_new, inds_new, ll_new, lp_new, lndiff
+
+        coords_new, inds_new, ll_new, lp_new, lndiff = eval_candidate(k_draw)
+        accept = (jnp.log(jax.random.uniform(k_u, (ntemps, nwalkers))) < lndiff) & legal
+
+        out_coords = jnp.where(accept[..., None, None], coords_new, coords)
+        out_inds = jnp.where(accept[..., None], inds_new, inds)
+        out_ll = jnp.where(accept, ll_new, log_like)
+        out_lp = jnp.where(accept, lp_new, log_prior)
+
+        # ---- DR stages on rejected births only ----
+        # past_alpha: stage-0 acceptance probability of the rejected path
+        past_alpha = jnp.clip(jnp.exp(jnp.minimum(lndiff, 0.0)), 0.0, 1.0 - 1e-12)
+        in_dr = (~accept) & do_birth & legal
+
+        for _ in range(self.max_iter):
+            key, k_draw_i, k_u_i = jax.random.split(key, 3)
+            c_k, i_k, ll_k, lp_k, lndiff_k = eval_candidate(k_draw_i)
+            alpha_1 = jnp.clip(jnp.exp(jnp.minimum(lndiff_k, 0.0)), 0.0, 1.0 - 1e-12)
+            log_dr = lndiff_k + jnp.log1p(-alpha_1) - jnp.log1p(-past_alpha)
+            dr_alpha = jnp.clip(jnp.exp(jnp.minimum(log_dr, 0.0)), 0.0, 1.0)
+            dr_alpha = jnp.where(jnp.isnan(dr_alpha), 0.0, dr_alpha)
+            acc_k = in_dr & (jax.random.uniform(k_u_i, (ntemps, nwalkers)) < dr_alpha)
+
+            out_coords = jnp.where(acc_k[..., None, None], c_k, out_coords)
+            out_inds = jnp.where(acc_k[..., None], i_k, out_inds)
+            out_ll = jnp.where(acc_k, ll_k, out_ll)
+            out_lp = jnp.where(acc_k, lp_k, out_lp)
+            accept = accept | acc_k
+            in_dr = in_dr & ~acc_k
+            past_alpha = jnp.where(in_dr, jnp.clip(dr_alpha, 0.0, 1.0 - 1e-12), past_alpha)
+
+        return out_coords, out_inds, out_ll, out_lp, jnp.sum(accept, axis=1).astype(jnp.int32)
+
+
+__all__ = ["DistributionGenerateRJ", "DelayedRejectionRJ"]

@@ -15,10 +15,13 @@ import jax.numpy as jnp
 import pytest
 
 from emri_frequencydomainwaveforms_tpu.inference import (
+    DelayedRejectionRJ,
+    DistributionGenerate,
     DistributionGenerateRJ,
     EnsembleSampler,
     GaussianMove,
     MTDistGenMove,
+    MTDistGenMoveRJ,
     ProbDistContainer,
     TempHDFBackend,
     make_state,
@@ -297,6 +300,172 @@ class TestMT:
         assert abs(samples.mean()) < 0.25
         assert abs(samples.std() - 1.0) < 0.2
         assert ens.acceptance_fraction.mean() > 0.01
+
+
+class TestDistGen:
+    """Reference ``distgen.py:10`` equivalent: prior-draw independence MH."""
+
+    def test_flat_gaussian_posterior(self):
+        ndim, nwalkers, ntemps = 2, 24, 2
+
+        def log_like(x):
+            return -0.5 * jnp.sum(x**2, axis=-1)
+
+        priors = ProbDistContainer({i: uniform_dist(-5.0, 5.0) for i in range(ndim)})
+        move = DistributionGenerate(priors)
+        ens = EnsembleSampler(
+            nwalkers, ndim, log_like, priors, moves=move,
+            tempering_kwargs={"ntemps": ntemps},
+        )
+        coords = priors.rvs(size=(ntemps, nwalkers))
+        ens.run_mcmc(coords[:, :, None, :], 120, burn=20)
+        samples = ens.get_chain()["model_0"][:, 0].reshape(-1, ndim)
+        assert abs(samples.mean()) < 0.2
+        assert abs(samples.std() - 1.0) < 0.2
+        assert ens.acceptance_fraction.mean() > 0.01
+
+    def test_tree_contract_runs(self):
+        # multi-leaf branch: active leaves redrawn, masked slots untouched
+        ntemps, nwalkers, ndim = 1, 12, 3
+        rng = np.random.default_rng(3)
+        y = jnp.asarray(_inject())
+
+        def log_like(coords, inds, data, sigma):
+            tmpl = _gauss_sum(coords, inds)
+            return -0.5 * jnp.sum(((tmpl - data) / sigma) ** 2, axis=-1)
+
+        priors = {"gauss": GAUSS_PRIOR}
+        gen = {"gauss": ProbDistContainer(GAUSS_PRIOR)}
+        move = DistributionGenerate(gen)
+        ens = EnsembleSampler(
+            nwalkers, {"gauss": ndim}, log_like, priors, args=[y, SIGMA],
+            branch_names=["gauss"], nleaves_max={"gauss": 6},
+            nleaves_min={"gauss": 0}, moves=move,
+            rj_moves=[DistributionGenerateRJ(
+                {"gauss": ProbDistContainer(GAUSS_PRIOR)},
+                nleaves_min={"gauss": 0}, nleaves_max={"gauss": 6},
+            )],
+        )
+        coords, inds = _init_leaves(GAUSS_INJ, 6, ntemps, nwalkers, rng)
+        state = make_state({"gauss": coords}, inds={"gauss": inds})
+        last = ens.run_mcmc(state, 10, burn=2)
+        assert np.isfinite(np.asarray(last.log_like)).all()
+        nl = np.asarray(last.branches["gauss"].nleaves)
+        assert nl.min() >= 0 and nl.max() <= 6
+
+
+class TestMTRJ:
+    """Reference ``test_mt_rj`` equivalent (``mtdistgenrj.py:7``)."""
+
+    def test_mt_rj_leaf_count_recovery(self):
+        ntemps, nwalkers, ndim = 2, 16, 3
+        nleaves_max = {"gauss": 8}
+        nleaves_min = {"gauss": 0}
+        rng = np.random.default_rng(7)
+        y = jnp.asarray(_inject())
+
+        def log_like(coords, inds, data, sigma):
+            tmpl = _gauss_sum(coords, inds)
+            return -0.5 * jnp.sum(((tmpl - data) / sigma) ** 2, axis=-1)
+
+        priors = {"gauss": GAUSS_PRIOR}
+        gen = {"gauss": ProbDistContainer(GAUSS_PRIOR)}
+        moves = GaussianMove({"gauss": np.ones(ndim) * 1e-5})
+        rj_moves = [MTDistGenMoveRJ(
+            gen, num_try=8, nleaves_min=nleaves_min, nleaves_max=nleaves_max
+        )]
+        ens = EnsembleSampler(
+            nwalkers, {"gauss": ndim}, log_like, priors, args=[y, SIGMA],
+            tempering_kwargs=dict(ntemps=ntemps), branch_names=["gauss"],
+            nleaves_max=nleaves_max, nleaves_min=nleaves_min,
+            moves=moves, rj_moves=rj_moves,
+        )
+        coords, inds = _init_leaves(GAUSS_INJ, 8, ntemps, nwalkers, rng)
+        state = make_state({"gauss": coords}, inds={"gauss": inds})
+        last = ens.run_mcmc(state, 15, burn=5)
+
+        nleaves = ens.get_nleaves()["gauss"]
+        assert nleaves.shape == (15, ntemps, nwalkers)
+        assert nleaves.min() >= 0 and nleaves.max() <= 8
+        # cold chain stays near the injected 4 sources
+        assert 2.0 < nleaves[:, 0].mean() <= 8.0
+        assert np.isfinite(np.asarray(last.log_like)).all()
+
+    def test_mt_rj_death_reduces_overfit(self):
+        # start with ALL 8 leaves active: the 4 spurious ones should be
+        # pruned quickly because the MT estimator sees the J-candidate
+        # evidence for removal
+        ntemps, nwalkers, ndim = 1, 16, 3
+        rng = np.random.default_rng(11)
+        y = jnp.asarray(_inject())
+
+        def log_like(coords, inds, data, sigma):
+            tmpl = _gauss_sum(coords, inds)
+            return -0.5 * jnp.sum(((tmpl - data) / sigma) ** 2, axis=-1)
+
+        gen = {"gauss": ProbDistContainer(GAUSS_PRIOR)}
+        rj = MTDistGenMoveRJ(
+            gen, num_try=6, nleaves_min={"gauss": 0}, nleaves_max={"gauss": 8}
+        )
+        ens = EnsembleSampler(
+            16, {"gauss": ndim}, log_like, {"gauss": GAUSS_PRIOR},
+            args=[y, SIGMA], branch_names=["gauss"],
+            nleaves_max={"gauss": 8}, nleaves_min={"gauss": 0},
+            moves=GaussianMove({"gauss": np.ones(ndim) * 1e-5}), rj_moves=[rj],
+        )
+        coords = np.zeros((ntemps, nwalkers, 8, ndim))
+        for nn in range(8):
+            src = GAUSS_INJ[nn % len(GAUSS_INJ)]
+            coords[:, :, nn] = src + np.array([0.0, 0.3 * (nn // 4), 0.0])
+            coords[:, :, nn] += 1e-3 * rng.standard_normal((ntemps, nwalkers, ndim))
+        coords[..., 0] = np.clip(coords[..., 0], 2.51, 3.49)
+        coords[..., 1] = np.clip(coords[..., 1], -0.99, 0.99)
+        inds = np.ones((ntemps, nwalkers, 8), dtype=bool)
+        state = make_state({"gauss": coords}, inds={"gauss": inds})
+        ens.run_mcmc(state, 20)
+        nleaves = ens.get_nleaves()["gauss"]
+        # leaf count must drop from the saturated start
+        assert nleaves[-5:].mean() < 8.0
+
+
+class TestDelayedRejectionRJ:
+    """Reference ``delayedrejection.py:31``: DR on rejected births."""
+
+    def test_dr_rj_runs_and_improves_birth_acceptance(self):
+        ntemps, nwalkers, ndim = 1, 16, 3
+        rng = np.random.default_rng(13)
+        y = jnp.asarray(_inject())
+
+        def log_like(coords, inds, data, sigma):
+            tmpl = _gauss_sum(coords, inds)
+            return -0.5 * jnp.sum(((tmpl - data) / sigma) ** 2, axis=-1)
+
+        def run(rj_move, seed=0):
+            ens = EnsembleSampler(
+                nwalkers, {"gauss": ndim}, log_like, {"gauss": GAUSS_PRIOR},
+                args=[y, SIGMA], branch_names=["gauss"],
+                nleaves_max={"gauss": 8}, nleaves_min={"gauss": 0},
+                moves=GaussianMove({"gauss": np.ones(ndim) * 1e-5}),
+                rj_moves=[rj_move], seed=seed,
+            )
+            coords, inds = _init_leaves(GAUSS_INJ, 8, ntemps, nwalkers, rng)
+            state = make_state({"gauss": coords}, inds={"gauss": inds})
+            ens.run_mcmc(state, 25)
+            rj_acc = ens.backend.rj_acceptance_fraction
+            nleaves = ens.get_nleaves()["gauss"]
+            return rj_acc, nleaves
+
+        gen = {"gauss": ProbDistContainer(GAUSS_PRIOR)}
+        acc_dr, nl_dr = run(DelayedRejectionRJ(
+            gen, nleaves_min={"gauss": 0}, nleaves_max={"gauss": 8}, max_iter=4
+        ))
+        acc_plain, nl_plain = run(DistributionGenerateRJ(
+            gen, nleaves_min={"gauss": 0}, nleaves_max={"gauss": 8}
+        ))
+        # chains stay legal
+        assert nl_dr.min() >= 0 and nl_dr.max() <= 8
+        # more stages => at least as many trans-dimensional acceptances
+        assert np.sum(acc_dr) >= np.sum(acc_plain)
 
 
 class TestGroupAndDR:
