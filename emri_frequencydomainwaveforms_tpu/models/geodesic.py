@@ -156,10 +156,185 @@ def darwin_orbit(p: jax.Array, e: jax.Array, n_chi: int = _N_CHI):
     return {"chi": chi, "r": r, "t": t, "phi": phi, "T_r": t_r, "Dphi": dphi_total}
 
 
+# ---------------------------------------------------------------------------
+# Kerr equatorial (a != 0, x = +-1) extension
+#
+# Pins the generic-spin signature of the reference engine's
+# ``get_fundamental_frequencies(a, p, e, x)`` / ``get_separatrix(a, e, x)``
+# (reference FD notebook cell 1) for EQUATORIAL orbits. Same TPU design as
+# the Schwarzschild path: a fixed-count Newton solve (vmappable, branch-free)
+# for the orbit constants and spectral Darwin quadrature for the
+# frequencies — no elliptic-integral AGM loops.
+#
+# Radial potential (equatorial, Carter constant Q = 0; Boyer-Lindquist,
+# geometric units M = 1):
+#   R(r) = [E(r^2+a^2) - aL]^2 - Delta [r^2 + (L-aE)^2],
+#   R(r)/r = c3 r^3 + c2 r^2 + c1 r + c0,
+#   c3 = E^2-1, c2 = 2, c1 = -[L^2 + a^2(1-E^2)], c0 = 2 (L-aE)^2.
+# Bound-orbit conditions S(r_p) = S(r_a) = 0 are solved in the
+# DIVIDED-DIFFERENCE form {S(r_p) = 0, [S(r_a)-S(r_p)]/(r_a-r_p) = 0} which
+# stays perfectly conditioned in the circular limit (second equation ->
+# S'(r) = 0). The third root r3 = 2(L-aE)^2 / ((1-E^2) r_p r_a) (Vieta)
+# regularizes the quadrature:
+#   dlambda/dchi = g(chi) = sqrt(1-e^2) /
+#                  [sqrt(1-E^2) (1+e cos chi) sqrt(r (r - r3))]
+#   dt/dchi   = P_t(r) g,   P_t = a(L-aE) + (r^2+a^2) T / Delta,
+#   dphi/dchi = P_phi(r) g, P_phi = (L-aE) + a T / Delta,  T = E(r^2+a^2)-La
+# and the polar frequency of the equatorial orbit comes from the Mino-time
+# polar potential with Q -> 0: Upsilon_theta = sqrt(L^2 + a^2(1-E^2)), so
+# Omega_theta = Upsilon_theta Lambda_r / T_r. All three reduce exactly to
+# the Schwarzschild results at a = 0 (Omega_theta -> Omega_phi since
+# dphi/dlambda = L there).
+# ---------------------------------------------------------------------------
+
+_N_EL_NEWTON = 40
+
+
+@partial(jnp.vectorize, signature="(),(),()->(),()")
+def kerr_eq_energy_angmom(a, p, e):
+    """(E, L) of the bound equatorial Kerr orbit (L signed; retrograde via
+    a < 0 or a retrograde Schwarzschild-style guess is NOT needed — pass
+    x = -1 through `fundamental_frequencies_kerr`, which maps to -a)."""
+    r_p = p / (1.0 + e)
+    r_a = p / (1.0 - e + 1e-300)  # e < 1 for bound orbits
+
+    # Schwarzschild starting point (exact at a = 0)
+    denom = jnp.maximum(p - 3.0 - e * e, 1e-12)
+    e0 = jnp.sqrt(
+        jnp.maximum((p - 2.0 - 2.0 * e) * (p - 2.0 + 2.0 * e), 1e-300) / (p * denom)
+    )
+    l0 = p / jnp.sqrt(denom)
+
+    sum_sq = r_a * r_a + r_a * r_p + r_p * r_p
+    sum_r = r_a + r_p
+
+    def newton(carry, _):
+        en, lz = carry
+        x = lz - a * en
+        c3 = en * en - 1.0
+        c1 = -(lz * lz + a * a * (1.0 - en * en))
+        c0 = 2.0 * x * x
+        f1 = c3 * r_p**3 + 2.0 * r_p**2 + c1 * r_p + c0
+        f2 = c3 * sum_sq + 2.0 * sum_r + c1
+        # analytic Jacobian
+        d_c3_e = 2.0 * en
+        d_c1_e = 2.0 * a * a * en
+        d_c0_e = -4.0 * a * x
+        d_c1_l = -2.0 * lz
+        d_c0_l = 4.0 * x
+        j11 = d_c3_e * r_p**3 + d_c1_e * r_p + d_c0_e
+        j12 = d_c1_l * r_p + d_c0_l
+        j21 = d_c3_e * sum_sq + d_c1_e
+        j22 = d_c1_l
+        det = j11 * j22 - j12 * j21
+        det = jnp.where(jnp.abs(det) > 1e-300, det, 1e-300)
+        en = en - (f1 * j22 - f2 * j12) / det
+        lz = lz - (j11 * f2 - j21 * f1) / det
+        return (en, lz), None
+
+    (energy, angmom), _ = jax.lax.scan(newton, (e0, l0), None, length=_N_EL_NEWTON)
+    return energy, angmom
+
+
+@partial(jnp.vectorize, signature="(),(),()->(),(),()")
+def _kerr_eq_freqs_prograde(a, p, e):
+    """(Omega_phi, Omega_theta, Omega_r) for the equatorial orbit; spin a
+    signed (negative a = retrograde), orbital angular momentum positive."""
+    energy, angmom = kerr_eq_energy_angmom(a, p, e)
+    r_p = p / (1.0 + e)
+    r_a = p / (1.0 - e + 1e-300)
+    x = angmom - a * energy
+    one_m_e2 = jnp.maximum(1.0 - energy * energy, 1e-300)
+    r3 = 2.0 * x * x / (one_m_e2 * r_p * r_a)
+
+    chi = (2.0 * jnp.pi / _N_CHI) * jnp.arange(_N_CHI)
+    ecos = e * jnp.cos(chi)
+    r = p / (1.0 + ecos)
+    delta = r * r - 2.0 * r + a * a
+    big_t = energy * (r * r + a * a) - angmom * a
+    g = jnp.sqrt(jnp.maximum(1.0 - e * e, 0.0)) / (
+        jnp.sqrt(one_m_e2)
+        * (1.0 + ecos)
+        * jnp.sqrt(jnp.maximum(r * (r - r3), 1e-300))
+    )
+    p_t = a * x + (r * r + a * a) * big_t / delta
+    p_phi = x + a * big_t / delta
+
+    h = 2.0 * jnp.pi / _N_CHI
+    t_r = jnp.sum(p_t * g) * h
+    dphi = jnp.sum(p_phi * g) * h
+    lam_r = jnp.sum(g) * h
+
+    omega_r = 2.0 * jnp.pi / t_r
+    omega_phi = dphi / t_r
+    ups_theta = jnp.sqrt(angmom * angmom + a * a * one_m_e2)
+    omega_theta = ups_theta * lam_r / t_r
+    return omega_phi, omega_theta, omega_r
+
+
+def fundamental_frequencies_kerr(a, p, e, x=1.0):
+    """(Omega_phi, Omega_theta, Omega_r) for equatorial Kerr (x = +-1).
+
+    ``x = cos(iota)``: +1 prograde, -1 retrograde. Retrograde orbits map to
+    prograde orbits in spin -a with phi -> -phi, so Omega_phi flips sign
+    (signed convention); Omega_theta and Omega_r are positive. At a = 0
+    reduces to the Schwarzschild results with Omega_theta = Omega_phi.
+    """
+    a = jnp.asarray(a, jnp.float64)
+    x = jnp.asarray(x, jnp.float64)
+    a_eff = jnp.where(x >= 0, a, -a)
+    om_phi, om_th, om_r = _kerr_eq_freqs_prograde(a_eff, jnp.asarray(p), jnp.asarray(e))
+    return jnp.where(x >= 0, om_phi, -om_phi), om_th, om_r
+
+
+@partial(jnp.vectorize, signature="(),()->()")
+def _separatrix_prograde(a, e):
+    """Equatorial separatrix p_s(a, e) by bisection on the stability margin
+    r_p - r3 (the bound orbit exists while the periapsis stays outside the
+    third root of the radial potential; they merge at the separatrix)."""
+
+    def margin(p):
+        energy, angmom = kerr_eq_energy_angmom(a, p, e)
+        r_p = p / (1.0 + e)
+        r_a = p / (1.0 - e + 1e-300)
+        x = angmom - a * energy
+        one_m_e2 = 1.0 - energy * energy
+        r3 = 2.0 * x * x / (one_m_e2 * r_p * r_a)
+        m = jnp.where(
+            jnp.isfinite(energy) & (one_m_e2 > 0.0) & (energy > 0.0),
+            r_p - r3,
+            -1.0,
+        )
+        return m
+
+    lo = jnp.asarray(1.0 + 1e-3)
+    hi = jnp.asarray(12.0 + 2.0 * e)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = 0.5 * (lo + hi)
+        stable = margin(mid) > 0.0
+        return jnp.where(stable, lo, mid), jnp.where(stable, mid, hi)
+
+    lo, hi = jax.lax.fori_loop(0, 64, body, (lo, hi))
+    return 0.5 * (lo + hi)
+
+
+def separatrix_kerr(a, e, x=1.0):
+    """p_s(a, e, x) for equatorial orbits; a = 0 gives 6 + 2e exactly."""
+    a = jnp.asarray(a, jnp.float64)
+    x = jnp.asarray(x, jnp.float64)
+    a_eff = jnp.where(x >= 0, a, -a)
+    return _separatrix_prograde(a_eff, jnp.asarray(e))
+
+
 __all__ = [
     "separatrix",
     "energy_angmom",
     "fundamental_frequencies",
     "fundamental_frequencies_seconds",
     "darwin_orbit",
+    "kerr_eq_energy_angmom",
+    "fundamental_frequencies_kerr",
+    "separatrix_kerr",
 ]

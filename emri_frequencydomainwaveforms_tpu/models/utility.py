@@ -19,18 +19,36 @@ from . import inspiral as _inspiral
 
 
 def get_fundamental_frequencies(a, p, e, x):
-    """(OmegaPhi, OmegaTheta, OmegaR) — Schwarzschild (a = 0) supported."""
-    if np.any(np.asarray(a) != 0.0):
-        raise NotImplementedError("Kerr frequencies: Schwarzschild (a=0) only")
-    om_phi, om_r = _fund_freq(jnp.asarray(p), jnp.asarray(e))
-    om_theta = om_phi  # spherical symmetry: theta and phi frequencies agree
+    """(OmegaPhi, OmegaTheta, OmegaR), generic spin, equatorial (x = +-1).
+
+    a = 0 takes the spectrally-exact Schwarzschild quadrature; a != 0 the
+    equatorial Kerr path (`geodesic.fundamental_frequencies_kerr`:
+    divided-difference (E, L) Newton solve + Darwin quadrature, validated
+    against the Bardeen circular-orbit/epicyclic closed forms). Inclined
+    (|x| != 1) orbits are outside the equatorial scope.
+    """
+    if np.all(np.asarray(a) == 0.0):
+        om_phi, om_r = _fund_freq(jnp.asarray(p), jnp.asarray(e))
+        sign = np.sign(np.asarray(x, dtype=np.float64))
+        om_phi = np.asarray(om_phi) * np.where(sign == 0, 1.0, sign)
+        return om_phi, np.abs(om_phi), np.asarray(om_r)
+    if np.any(np.abs(np.asarray(x)) != 1.0):
+        raise NotImplementedError("Kerr frequencies: equatorial (x = +-1) only")
+    from .geodesic import fundamental_frequencies_kerr
+
+    om_phi, om_theta, om_r = fundamental_frequencies_kerr(a, jnp.asarray(p), jnp.asarray(e), x)
     return np.asarray(om_phi), np.asarray(om_theta), np.asarray(om_r)
 
 
 def get_separatrix(a, e, x):
-    if np.any(np.asarray(a) != 0.0):
-        raise NotImplementedError("Kerr separatrix: Schwarzschild (a=0) only")
-    return np.asarray(_sep(jnp.asarray(e)))
+    """Separatrix p_s(a, e, x); exact 6 + 2e at a = 0, equatorial Kerr else."""
+    if np.all(np.asarray(a) == 0.0):
+        return np.asarray(_sep(jnp.asarray(e)))
+    if np.any(np.abs(np.asarray(x)) != 1.0):
+        raise NotImplementedError("Kerr separatrix: equatorial (x = +-1) only")
+    from .geodesic import separatrix_kerr
+
+    return np.asarray(separatrix_kerr(a, jnp.asarray(e), x))
 
 
 def get_overlap(time_series_1, time_series_2, use_gpu=False):

@@ -9,7 +9,10 @@ from emri_frequencydomainwaveforms_tpu.models.geodesic import (
     darwin_orbit,
     energy_angmom,
     fundamental_frequencies,
+    fundamental_frequencies_kerr,
+    kerr_eq_energy_angmom,
     separatrix,
+    separatrix_kerr,
 )
 from emri_frequencydomainwaveforms_tpu.models.flux import pdot_edot
 from emri_frequencydomainwaveforms_tpu.models.inspiral import (
@@ -54,6 +57,76 @@ class TestGeodesic:
         assert r.max() <= p / (1 - e) + 1e-9
         t = np.asarray(orbit["t"])
         assert np.all(np.diff(t) > 0)
+
+
+class TestKerrGeodesic:
+    """Equatorial Kerr (a != 0) against independent closed forms."""
+
+    def test_schwarzschild_limit(self):
+        p, e = 9.3, 0.41
+        op, ot, orr = fundamental_frequencies_kerr(0.0, p, e)
+        op0, or0 = fundamental_frequencies(jnp.asarray(p), jnp.asarray(e))
+        np.testing.assert_allclose(float(op), float(op0), rtol=1e-13)
+        np.testing.assert_allclose(float(orr), float(or0), rtol=1e-13)
+        # a = 0: theta and phi frequencies degenerate
+        np.testing.assert_allclose(float(ot), float(op), rtol=1e-13)
+
+    def test_circular_kerr_closed_forms(self):
+        # Omega_phi = 1/(r^{3/2} + a); epicyclic frequencies
+        # Omega_r^2 = Omega_phi^2 (1 - 6/r + 8a r^{-3/2} - 3a^2/r^2),
+        # Omega_th^2 = Omega_phi^2 (1 - 4a r^{-3/2} + 3a^2/r^2)
+        for a in (0.3, 0.7, 0.95):
+            r = 8.0
+            op, ot, orr = fundamental_frequencies_kerr(a, r, 1e-10)
+            om = 1.0 / (r**1.5 + a)
+            np.testing.assert_allclose(float(op), om, rtol=1e-9)
+            np.testing.assert_allclose(
+                float(ot), om * np.sqrt(1 - 4 * a / r**1.5 + 3 * a**2 / r**2), rtol=1e-8
+            )
+            np.testing.assert_allclose(
+                float(orr),
+                om * np.sqrt(1 - 6 / r + 8 * a / r**1.5 - 3 * a**2 / r**2),
+                rtol=1e-7,
+            )
+
+    def test_retrograde(self):
+        a, r = 0.5, 9.0
+        op, _, _ = fundamental_frequencies_kerr(a, r, 1e-10, x=-1.0)
+        np.testing.assert_allclose(float(op), -1.0 / (r**1.5 - a), rtol=1e-9)
+
+    def test_isco_bardeen(self):
+        # separatrix at e -> 0 must match the Bardeen-Press-Teukolsky ISCO
+        for a, x in ((0.5, 1.0), (0.9, 1.0), (0.7, -1.0)):
+            z1 = 1 + (1 - a * a) ** (1 / 3) * ((1 + a) ** (1 / 3) + (1 - a) ** (1 / 3))
+            z2 = np.sqrt(3 * a * a + z1 * z1)
+            sgn = 1.0 if x > 0 else -1.0
+            risco = 3 + z2 - sgn * np.sqrt((3 - z1) * (3 + z1 + 2 * z2))
+            ps = float(separatrix_kerr(a, 1e-8, x=x))
+            np.testing.assert_allclose(ps, risco, rtol=1e-6)
+
+    def test_separatrix_schwarzschild_limit(self):
+        for e in (0.0, 0.3, 0.7):
+            np.testing.assert_allclose(
+                float(separatrix_kerr(0.0, e)), 6.0 + 2.0 * e, atol=1e-10
+            )
+
+    def test_energy_angmom_match_schwarzschild(self):
+        p, e = 10.0, 0.3
+        ek, lk = kerr_eq_energy_angmom(0.0, p, e)
+        es, ls = energy_angmom(jnp.asarray(p), jnp.asarray(e))
+        np.testing.assert_allclose(float(ek), float(es), rtol=1e-12)
+        np.testing.assert_allclose(float(lk), float(ls), rtol=1e-12)
+
+    def test_utility_facade_kerr(self):
+        from emri_frequencydomainwaveforms_tpu.models.utility import (
+            get_fundamental_frequencies,
+            get_separatrix,
+        )
+
+        op, ot, orr = get_fundamental_frequencies(0.6, 7.0, 0.2, 1.0)
+        assert np.isfinite([op, ot, orr]).all() and op > 0 and orr > 0
+        ps = get_separatrix(0.6, 0.2, 1.0)
+        assert 2.0 < float(ps) < 6.0  # prograde spin lowers the separatrix
 
 
 class TestFlux:
