@@ -40,6 +40,8 @@ BATCH = 128  # fixed trajectory/dispatch overheads amortize (~0.45 ms/wf at 64)
 REPS = 4
 BAND_RUNS = 256  # widest band ~178 runs + offset margin (gate 1 verifies)
 BINS_PER_RUN = 64
+TURNOVER_SLOTS = 2  # PE-template default: plunge-branch content evaluated
+EXTRA_BAND_RUNS = 64  # narrow second-scan budget for the extra slots
 NORTH_STAR = 1000.0  # waveforms/s/chip (BASELINE.md)
 
 
@@ -103,12 +105,18 @@ def main() -> None:
         band_offsets_for(pro0, table, f0u, dfu, BINS_PER_RUN, BAND_RUNS)
     )
 
+    # shared extra-slot window offsets: the batch has no live turnover
+    # modes (chirp regime), so the extra slots are dead weight priced into
+    # the score — the metric reflects the PE-default configuration
+    offsets_extra = jnp.zeros((TURNOVER_SLOTS,), jnp.int32)
+
     def gen(p0, e0, th, ph):
         pro = prologue(p0, e0, th, ph)
         return fd_waveform_core(
             pro, table, f_arr, channels=True, uniform=uniform,
             band_runs=BAND_RUNS, band_offsets=offsets_j,
-            bins_per_run=BINS_PER_RUN,
+            bins_per_run=BINS_PER_RUN, turnover_slots=TURNOVER_SLOTS,
+            extra_band_runs=EXTRA_BAND_RUNS, band_offsets_extra=offsets_extra,
         )
 
     # posterior-wide walker batch
@@ -158,12 +166,10 @@ def main() -> None:
     ok_coverage = cov.min() >= 1.0 - 1.25 * EPS
 
     # ---- gate 1: banded kernel vs the general sorted-grid kernel ----
-    # compared away from per-mode band EDGES: the banded kernel's edge runs
-    # carry a documented O(run_df) envelope offset where the SPA amplitude
-    # 1/sqrt(fdot) is largest (summation_fd level-1 notes), so single edge
-    # bins differ at the percent level by design while band interiors agree
-    # to ~1e-5; excluding +-2 runs around each mode's f_start/f_end keeps
-    # the gate sensitive to real kernel corruption
+    # compared over the WHOLE grid including band edges: the banded
+    # kernel's edge intervals carry exact-anchor affine envelopes (round-3
+    # fix in summation_fd._level1_uniform_tables), so no exclusion zone is
+    # needed — any edge regression trips the gate directly
     sub = np.arange(0, nf, 617)
     pro_l0 = jax.jit(prologue)(p0s[0], e0s[0], ths[0], phs[0])
     banded = jax.jit(gen)(p0s[0], e0s[0], ths[0], phs[0])
@@ -171,37 +177,51 @@ def main() -> None:
         lambda pro: fd_waveform_core(pro, table, f_arr[jnp.asarray(sub)], channels=True)
     )(pro_l0)
 
-    from emri_frequencydomainwaveforms_tpu.ops.cubic_spline import (
-        fit_cubic_spline,
-        spline_eval,
-    )
-
-    sp_pp = fit_cubic_spline(pro_l0.t_knots, pro_l0.phi_phi, bc="not-a-knot")
-    sp_pr = fit_cubic_spline(pro_l0.t_knots, pro_l0.phi_r, bc="not-a-knot")
-    two_pi = 2.0 * np.pi
-    fphi_k = np.asarray(spline_eval(sp_pp, pro_l0.t_knots, deriv=1)) / two_pi
-    fr_k = np.asarray(spline_eval(sp_pr, pro_l0.t_knots, deriv=1)) / two_pi
-    n_liv = int(pro_l0.n_live)
-    ms = table.ms[forced_idx].astype(np.float64)
-    nns = table.ns[forced_idx].astype(np.float64)
-    fk_lane = ms[:, None] * fphi_k[None, :n_liv] + nns[:, None] * fr_k[None, :n_liv]
-    edges = np.concatenate([fk_lane[:, 0], fk_lane.max(axis=1), fk_lane.min(axis=1)])
-    run_df = BINS_PER_RUN * dfu
-    f_sub = f_np[sub]
-    near_edge = np.zeros(len(f_sub), bool)
-    for fe in edges:
-        near_edge |= np.abs(f_sub - fe) < 2.0 * run_df
-    keep = ~near_edge
-    checks["xcheck_bins"] = int(keep.sum())
-
+    checks["xcheck_bins"] = int(len(sub))
     xerr = 0.0
     for b_full, g_sub in zip(banded, general):
-        b_sub = np.asarray(b_full)[sub][keep]
-        g_sub = np.asarray(g_sub)[keep]
+        b_sub = np.asarray(b_full)[sub]
+        g_sub = np.asarray(g_sub)
         scale = np.sqrt(np.mean(b_sub**2)) + 1e-300
         xerr = max(xerr, float(np.sqrt(np.mean((b_sub - g_sub) ** 2)) / scale))
     checks["kernel_xcheck_rel_l2"] = round(xerr, 8)
-    ok_xcheck = xerr < 2e-3
+    ok_xcheck = xerr < 1e-4
+
+    # ---- gate 1c: plunging source through the banded production path ----
+    # near-separatrix source (plunges at ~0.03 yr): the banded kernel must
+    # carry the post-turnover branch content and agree with the general
+    # kernel to the fold-resolution limit (see summation_fd docstring: the
+    # uniform-in-f node grid leaves percent-level errors within ~1 run of
+    # the fold, inside the SPA's own validity limit there)
+    pro_pl = jax.jit(
+        lambda: waveform_prologue(
+            1e6, 50.0, 7.6, 0.3, 0.7, 0.5, 1.0, 0.0, 0.0,
+            t_years=T_YEARS, table=table, k_max=K_MAX, eps=EPS,
+            max_steps=MAX_STEPS,
+        )
+    )()
+    sub_pl = np.arange(0, nf, 1043)
+    banded_pl = jax.jit(
+        lambda pro: fd_waveform_core(
+            pro, table, f_arr, channels=True, uniform=uniform,
+            bins_per_run=BINS_PER_RUN, turnover_slots=TURNOVER_SLOTS,
+            extra_band_runs=None,
+        )
+    )(pro_pl)
+    general_pl = jax.jit(
+        lambda pro: fd_waveform_core(
+            pro, table, f_arr[jnp.asarray(sub_pl)], channels=True,
+            turnover_slots=TURNOVER_SLOTS,
+        )
+    )(pro_pl)
+    xerr_pl = 0.0
+    for b_full, g_sub in zip(banded_pl, general_pl):
+        b_sub = np.asarray(b_full)[sub_pl]
+        g_sub = np.asarray(g_sub)
+        scale = np.sqrt(np.mean(b_sub**2)) + 1e-300
+        xerr_pl = max(xerr_pl, float(np.sqrt(np.mean((b_sub - g_sub) ** 2)) / scale))
+    checks["plunge_xcheck_rel_l2"] = round(xerr_pl, 6)
+    ok_plunge = np.isfinite(xerr_pl) and xerr_pl < 2e-2
 
     # ---- gate 2: FD/TD Hann mismatch at the full 1-yr config ----
     t_grid = jnp.asarray(default_time_grid(T_YEARS, DT))
@@ -244,7 +264,7 @@ def main() -> None:
     checks["finite"] = bool(int(nbad) == 0)
     wf_per_sec = BATCH * REPS * n_timed / (t1 - t0)
     ok = (checks["finite"] and ok_knots and ok_xcheck and ok_mismatch
-          and ok_coverage)
+          and ok_coverage and ok_plunge)
     if not ok:
         wf_per_sec = 0.0
 

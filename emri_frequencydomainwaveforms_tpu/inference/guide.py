@@ -139,6 +139,19 @@ class MBHGuide(SamplerGuide):
             9: jnp.arcsin,
         }
 
+    @staticmethod
+    def relbin_likelihood(template_fn, f_dense, data, h0, psd, max_bins=512):
+        """Heterodyned likelihood for the search -> PE hand-off (the
+        relative-binning pattern of the reference MBH pipeline stages,
+        ``pipeline/pipeline.py:270-410``): ``template_fn`` is evaluated at
+        the coarse bin edges only. Returns a `RelativeBinningLikelihood`
+        ready to pass as the guide's ``like_fn``."""
+        from ..lisa.relbin import RelativeBinningLikelihood
+
+        return RelativeBinningLikelihood(
+            template_fn, f_dense, data, h0, psd, max_bins=max_bins
+        )
+
 
 class GBGuide(SamplerGuide):
     """Galactic-binary preset: the reference's 8-parameter setup

@@ -14,6 +14,7 @@ from .diagnostic import (
     vallisneri_criterion_cdf,
 )
 from .likelihood import GlobalLikelihood, Likelihood
+from .relbin import RelativeBinningLikelihood
 from .noise import generate_noise_fd
 from .tdi import TDIf
 from .sensitivity import (
@@ -43,6 +44,7 @@ __all__ = [
     "scale_snr",
     "Likelihood",
     "GlobalLikelihood",
+    "RelativeBinningLikelihood",
     "generate_noise_fd",
     "get_sensitivity",
     "cornish_lisa_psd",

@@ -72,7 +72,12 @@ _SQRT_PI_5 = float(np.sqrt(np.pi / 5.0))
 _SQRT_8PI_15 = float(np.sqrt(8.0 * np.pi / 15.0))
 
 # (l, m) -> (azimuthal k of g_lm, r power, ell power, C_re, C_im); see
-# module docstring + tools/derive_multipoles.py
+# module docstring + tools/derive_multipoles.py. Round 3 extends the
+# inventory through l = 6: current hexadecapole (4,3)/(4,1), the l = 5
+# mass 2^5-pole + current 2^5-pole, and the l = 6 mass 2^6-pole + current
+# 2^6-pole families, constants fit against the generic-STF Thorne-4.8
+# brute force to ~1e-11 residuals (K_60/K_63/K_61 kept as full-precision
+# numerics where |K|^2/pi does not snap to a small rational).
 _FAMILIES = {
     (2, 2): (2, 2, 0, -2.0 * np.sqrt(np.pi / 5.0), 0.0),
     (2, 0): (0, 2, 0, +np.sqrt(8.0 * np.pi / 15.0), 0.0),
@@ -84,6 +89,26 @@ _FAMILIES = {
     (4, 4): (4, 4, 0, +np.sqrt(np.pi / 9072.0), 0.0),
     (4, 2): (2, 4, 0, -np.sqrt(np.pi / 15876.0), 0.0),
     (4, 0): (0, 4, 0, +np.sqrt(np.pi / 17640.0), 0.0),
+    # current hexadecapole (l = 4 B-type)
+    (4, 3): (3, 3, 1, 0.0, -np.sqrt(2.0 * np.pi / 14175.0)),
+    (4, 1): (1, 3, 1, 0.0, +np.sqrt(2.0 * np.pi / 11025.0)),
+    # l = 5 mass 2^5-pole  (C = K (-i)^5 = -i K: fit K real -> C imaginary)
+    (5, 5): (5, 5, 0, 0.0, +np.sqrt(np.pi / 1188000.0)),
+    (5, 3): (3, 5, 0, 0.0, -np.sqrt(np.pi / 2138400.0)),
+    (5, 1): (1, 5, 0, 0.0, +np.sqrt(np.pi / 2494800.0)),
+    # l = 5 current 2^5-pole  (fit K imaginary -> C real)
+    (5, 4): (4, 4, 1, +np.sqrt(np.pi / 1069200.0), 0.0),
+    (5, 2): (2, 4, 1, -np.sqrt(np.pi / 801900.0), 0.0),
+    (5, 0): (0, 4, 1, +np.sqrt(np.pi / 748440.0), 0.0),
+    # l = 6 mass 2^6-pole  (C = K (-i)^6 = -K)
+    (6, 6): (6, 6, 0, -np.sqrt(np.pi / 208494000.0), 0.0),
+    (6, 4): (4, 6, 0, +np.sqrt(np.pi / 382239000.0), 0.0),
+    (6, 2): (2, 6, 0, -np.sqrt(np.pi / 458686800.0), 0.0),
+    (6, 0): (0, 6, 0, +8.0764808368e-05, 0.0),
+    # l = 6 current 2^6-pole
+    (6, 5): (5, 5, 1, 0.0, +np.sqrt(np.pi / 212837625.0)),
+    (6, 3): (3, 5, 1, 0.0, -1.41873087857e-04),
+    (6, 1): (1, 5, 1, 0.0, +1.49547365463e-04),
 }
 _FAMILY_ORDER = list(_FAMILIES)
 
@@ -106,7 +131,10 @@ class ModeTable(NamedTuple):
 
 
 def default_mode_table(n_max: int = 30, l_max: int = 4) -> ModeTable:
-    """Multipole inventory through ``l_max`` (families in _FAMILIES).
+    """Multipole inventory through ``l_max`` (families in _FAMILIES;
+    l_max up to 6 since round 3 — 25 (l, m) families incl. all current
+    multipoles; production default stays l_max = 4 with the l = 5, 6 rungs
+    available for convergence studies, cf. tools/convergence_l56.py).
 
     m > 0 families carry n in [-n_max, n_max]; m = 0 families carry
     n in [1, n_max] (their negative-n partners follow from reality).
@@ -123,18 +151,22 @@ def default_mode_table(n_max: int = 30, l_max: int = 4) -> ModeTable:
     return ModeTable(np.array(ls), np.array(ms), np.array(ns))
 
 
-def _orbit_harmonics(p, e, n_max: int):
-    """Fourier coefficients F_n[g_lm] of every multipole family per knot.
+def _orbit_harmonics(p, e, n_max: int, fam_subset: tuple[int, ...] | None = None):
+    """Fourier coefficients F_n[g_lm] of the requested multipole families.
 
-    ``p``, ``e``: any shape, flattened internally to a (BK,) batch. Returns
-    ``f_fam`` f32 of shape (..., n_families, 2*n_max+1) indexed by
-    (family order of _FAMILIES, n = -n_max..n_max), plus (omega_phi,
-    omega_r) f32 of shape (...,). All coefficients are real (chi-parity;
-    module docstring).
+    ``p``, ``e``: any shape, flattened internally to a (BK,) batch.
+    ``fam_subset``: static tuple of indices into ``_FAMILY_ORDER`` (None =
+    all 25 families); restricting to the table's families keeps the l<=4
+    production configuration at its original row count. Returns ``f_fam``
+    f32 of shape (..., len(subset), 2*n_max+1) indexed by (subset order,
+    n = -n_max..n_max), plus (omega_phi, omega_r) f32 of shape (...,).
+    All coefficients are real (chi-parity; module docstring).
 
     One batched (rows, n_chi) x (n_chi, 2(n_max+1)) f32 matmul per knot
     serves every harmonic of every family at once.
     """
+    if fam_subset is None:
+        fam_subset = tuple(range(len(_FAMILY_ORDER)))
     shape = np.shape(p)
     f32 = jnp.float32
     n_chi = _N_CHI
@@ -185,18 +217,19 @@ def _orbit_harmonics(p, e, n_max: int):
 
     # orbit functional building blocks: r powers, specific angular momentum
     # l = r^2 dphi/dt, and cos/sin(k dphi) by Chebyshev-style recurrence
-    r2 = r * r
-    r3 = r2 * r
-    r4 = r2 * r2
-    ell = r2 * dphi_dchi / dt_dchi
+    ell = (r * r) * dphi_dchi / dt_dchi
     c1, s1 = jnp.cos(dphi), jnp.sin(dphi)
     ck = {0: (jnp.ones_like(c1), jnp.zeros_like(s1)), 1: (c1, s1)}
-    for k in (2, 3, 4):
+    for k in range(2, 7):
         cprev, sprev = ck[k - 1]
         ck[k] = (cprev * c1 - sprev * s1, sprev * c1 + cprev * s1)
-    fvals = {
-        (2, 0): r2, (1, 1): ell * r, (3, 0): r3, (2, 1): ell * r2, (4, 0): r4
-    }
+    rpow = {1: r}
+    for rp in range(2, 7):
+        rpow[rp] = rpow[rp - 1] * r
+
+    def fval(rp, lp):
+        base = rpow[rp]
+        return ell * base if lp else base
 
     # harmonic basis e^{-i n theta}, theta = Omega_r t(chi) = chi + theta_per
     # with theta_per = t_per / t_mean (|.| < ~2 pi e, exact split since
@@ -237,19 +270,20 @@ def _orbit_harmonics(p, e, n_max: int):
     # it into every harmonic; the mean contributes exactly delta_{n0} and is
     # restored after); sin-row DCs vanish by parity.
     rows = []
-    row_meta = []  # (family_index, which: 0 cos / 1 sin)
+    row_meta = []  # (subset position, which: 0 cos / 1 sin)
     means = []
-    for fi, (lm, (k, rp, lp, _, _)) in enumerate(_FAMILIES.items()):
-        f_vals = fvals[(rp, lp)]
+    for si, fi in enumerate(fam_subset):
+        k, rp, lp, _, _ = _FAMILIES[_FAMILY_ORDER[fi]]
+        f_vals = fval(rp, lp)
         ckk, skk = ck[k]
         fc = f_vals * ckk
         mc = jnp.sum(w * fc, axis=-1, keepdims=True)
         rows.append(w * (fc - mc))
-        row_meta.append((fi, 0))
+        row_meta.append((si, 0))
         means.append(mc)
         if k > 0:
             rows.append(w * (f_vals * skk))
-            row_meta.append((fi, 1))
+            row_meta.append((si, 1))
     integ = jnp.stack(rows, axis=1)  # (BK, n_rows, n_chi)
     proj = jax.lax.dot_general(
         integ, cs, (((2,), (1,)), ((0,), (0,))),
@@ -258,16 +292,16 @@ def _orbit_harmonics(p, e, n_max: int):
 
     np1 = n_max + 1
     dc = jnp.concatenate([jnp.ones((1,), f32), jnp.zeros((np1 - 1,), f32)])[None, :]
-    n_fam = len(_FAMILIES)
+    n_fam = len(fam_subset)
     cos_part = [None] * n_fam
     sin_part = [jnp.zeros_like(proj[:, 0, np1:])] * n_fam
     mi = 0
-    for ri, (fi, which) in enumerate(row_meta):
+    for ri, (si, which) in enumerate(row_meta):
         if which == 0:
-            cos_part[fi] = proj[:, ri, :np1] + means[mi] * dc
+            cos_part[si] = proj[:, ri, :np1] + means[mi] * dc
             mi += 1
         else:
-            sin_part[fi] = proj[:, ri, np1:]
+            sin_part[si] = proj[:, ri, np1:]
     f_all = []
     for fi in range(n_fam):
         wc, ws = cos_part[fi], sin_part[fi]
@@ -298,7 +332,6 @@ def mode_amplitudes(
     full generic inventory so richer amplitude backends can swap in).
     """
     n_max = int(np.max(np.abs(table.ns))) if table.num_modes else 0
-    f_fam, omega_phi, omega_r = _orbit_harmonics(p, e, n_max)
 
     # static per-mode bookkeeping (host numpy; compiles to slice-selects)
     fam_lookup = {lm: i for i, lm in enumerate(_FAMILY_ORDER)}
@@ -307,6 +340,14 @@ def mode_amplitudes(
     )
     known = fam_idx >= 0
     fam_idx_safe = np.where(known, fam_idx, 0)
+    # only the families present in the table are projected (static subset;
+    # keeps the l<=4 production row count when higher-l families exist)
+    fam_subset = tuple(sorted(set(fam_idx_safe.tolist())))
+    sub_pos = {fi: si for si, fi in enumerate(fam_subset)}
+    fam_pos = np.array([sub_pos[fi] for fi in fam_idx_safe])
+
+    f_fam, omega_phi, omega_r = _orbit_harmonics(p, e, n_max, fam_subset)
+
     n_idx = table.ns + n_max
     c_re = np.array([_FAMILIES[lm][3] for lm in _FAMILY_ORDER])[fam_idx_safe]
     c_im = np.array([_FAMILIES[lm][4] for lm in _FAMILY_ORDER])[fam_idx_safe]
@@ -314,15 +355,22 @@ def mode_amplitudes(
     c_im = np.where(known, c_im, 0.0)
 
     # F_n gather: one fancy-index over the static (family, n) pairs
-    f_sel = f_fam[..., jnp.asarray(fam_idx_safe), jnp.asarray(n_idx)]  # (..., M)
+    f_sel = f_fam[..., jnp.asarray(fam_pos), jnp.asarray(n_idx)]  # (..., M)
 
     m_f = jnp.asarray(table.ms.astype(np.float32))
     n_f = jnp.asarray(table.ns.astype(np.float32))
     omega_mn = m_f * omega_phi[..., None] + n_f * omega_r[..., None]
     # omega^l with possibly negative omega (l is a static integer per mode)
     w2 = omega_mn * omega_mn
+    w3 = w2 * omega_mn
+    w4 = w2 * w2
     ls = jnp.asarray(table.ls)
-    pw = jnp.where(ls == 2, w2, jnp.where(ls == 3, w2 * omega_mn, w2 * w2))
+    pw = jnp.where(
+        ls == 2, w2,
+        jnp.where(ls == 3, w3,
+                  jnp.where(ls == 4, w4,
+                            jnp.where(ls == 5, w4 * omega_mn, w4 * w2))),
+    )
 
     a = pw * f_sel
     re = jnp.asarray(c_re, jnp.float32) * a

@@ -81,9 +81,22 @@ NEGATIVE-frequency ranges (f_mn(t) < 0), whose radiation at +|f| comes
 from the DIRECT term: under U = -Phi that term obeys this same kernel
 with negated phase coefficients, conj-flipped amplitudes, and conjugated
 weight pairs (validated against the golden scipy pipeline on the
-mirrored phase). The banded uniform kernel keeps the single-branch band
-truncation (turnover/negative content is a small fraction of total
-power; production full-grid scoring is dominated by the chirp band).
+mirrored phase).
+
+The banded uniform kernel (`fd_mode_sum_uniform`) supports the SAME
+turnover/negative content (round 3): the generalized level-1 machinery
+evaluates arbitrary oriented knot windows, and extra slots run in a
+second scan with their own (narrow) window budget so dead slots on
+non-plunging batches cost ~extra_band_runs/band_runs of a main slot.
+Accuracy note for plunging sources: within ~1 run of a frequency FOLD
+(fdot -> 0 at the band end / branch junction) the uniform-in-f node grid
+under-resolves the Airy region, leaving percent-level errors in those
+bins vs the general kernel's t-space nodes (whole-band rel-L2 ~7e-3 on a
+plunging source, ~2e-7 in the chirp regime). This is within the SPA's
+own validity limit there — the FD/TD mismatch of plunging sources is
+~1e-2 for BOTH kernels (SPA truncation at the fold dominates), so the
+banded production path is physics-complete to the accuracy the
+construction itself supports.
 """
 
 from __future__ import annotations
@@ -564,6 +577,13 @@ def fd_mode_sum_uniform(
     bins_per_run: int = 64,
     band_runs: int | None = None,
     band_offsets: jax.Array | None = None,
+    turnover_slots: int = 0,
+    negative_slots: int = 0,
+    turnover_pick: jax.Array | None = None,
+    negative_pick: jax.Array | None = None,
+    band_offsets_extra: jax.Array | None = None,
+    extra_band_runs: int | None = None,
+    scan_unroll: int = 1,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Gather-minimal FD summation for UNIFORM output grids f = f0 + i*df.
 
@@ -596,7 +616,17 @@ def fd_mode_sum_uniform(
     passed here UNBATCHED (vmap in_axes=None / closed-over constants, e.g.
     computed once per walker batch from a representative source with a
     margin) keep it a true dynamic slice. When omitted, offsets are derived
-    per lane from each mode's f_start (correct but slow under vmap).
+    per lane from each slot's oriented band start (correct but slow under
+    vmap).
+
+    turnover_slots / negative_slots: static budgets of extra scan slots for
+    the DECREASING monotone branch (post-turnover plunge content) and the
+    NEGATIVE-frequency direct-term branch, with the same semantics as
+    `fd_mode_sum`. ``turnover_pick`` / ``negative_pick`` optionally pin the
+    slot -> mode assignment (shared across a vmapped batch, computed from a
+    representative source); default is a per-lane power-ranked top-k.
+    ``band_offsets_extra`` supplies shared window offsets for the extra
+    slots (turnover slots first), (turnover_slots + negative_slots,) int32.
 
     Returns (o1_re, o1_im, o2_re, o2_im), each (nf,), f64.
     """
@@ -618,80 +648,126 @@ def fd_mode_sum_uniform(
     f_knots_all = (
         inp.m_sel[:, None] * inp.f_phi_knots[None, :] + inp.n_sel[:, None] * inp.f_r_knots[None, :]
     )
+    k_max = cphi_all.shape[0]
+
+    # ---- extra-slot assembly (turnover + negative branches) ----
+    # Extra slots run in a SEPARATE scan with their own (typically much
+    # narrower) window budget: fold/negative bands cover a sliver of the
+    # grid, so dead or narrow extra slots cost ~extra_band_runs/band_runs
+    # of a main slot instead of doubling the scan length.
+    extras = []  # list of (cphi, ar, ai, fk, klo, khi, dirn, live, w[4])
+    if turnover_slots > 0:
+        if turnover_pick is not None:
+            pick = jnp.asarray(turnover_pick, jnp.int32)
+        else:
+            score = inp.dec_live * (inp.power + 1e-300)
+            _, pick = jax.lax.top_k(score, min(turnover_slots, k_max))
+        extras.append((
+            jnp.take(cphi_all, pick, axis=0),
+            jnp.take(inp.ar_c, pick, axis=0),
+            jnp.take(inp.ai_c, pick, axis=0),
+            jnp.take(f_knots_all, pick, axis=0),
+            jnp.take(inp.dec_lo, pick),
+            jnp.take(inp.dec_hi, pick),
+            -jnp.ones((pick.shape[0],), jnp.int32),
+            jnp.take(inp.dec_live, pick),
+            [jnp.take(w, pick) for w in (inp.w1_re, inp.w1_im, inp.w2_re, inp.w2_im)],
+        ))
+    if negative_slots > 0:
+        if negative_pick is not None:
+            pick_n = jnp.asarray(negative_pick, jnp.int32)
+        else:
+            score_n = inp.neg_live * (inp.power + 1e-300)
+            _, pick_n = jax.lax.top_k(score_n, min(negative_slots, k_max))
+        # U = -Phi: negated phase coefficients, A in place of conj(A)
+        # (a_im sign flip), mirrored knot frequencies, neg weight pairs
+        extras.append((
+            -jnp.take(cphi_all, pick_n, axis=0),
+            jnp.take(inp.ar_c, pick_n, axis=0),
+            -jnp.take(inp.ai_c, pick_n, axis=0),
+            -jnp.take(f_knots_all, pick_n, axis=0),
+            jnp.take(inp.neg_lo, pick_n),
+            jnp.take(inp.neg_hi, pick_n),
+            jnp.ones((pick_n.shape[0],), jnp.int32),
+            jnp.take(inp.neg_live, pick_n),
+            [jnp.take(w, pick_n) for w in (inp.w1n_re, inp.w1n_im, inp.w2n_re, inp.w2n_im)],
+        ))
+
+    # ---- main-slot window offsets ----
+    f_start_main = jnp.take_along_axis(
+        f_knots_all, inp.inc_lo[:, None].astype(jnp.int32), axis=1
+    )[:, 0]
     if band_offsets is None:
-        g0_all = jnp.floor((f_knots_all[:, 0] - f0) / run_df).astype(jnp.int32)
+        g0_main = jnp.floor((f_start_main - f0) / run_df).astype(jnp.int32)
     else:
-        g0_all = jnp.asarray(band_offsets, jnp.int32)
-    g0_all = jnp.clip(g0_all, 0, g_total)
+        g0_main = jnp.asarray(band_offsets, jnp.int32)
+    g0_main = jnp.clip(g0_main, 0, g_total)
 
-    # level 1 for all modes at once (one-hot MXU selection, no gathers)
-    pc, ec, f_start_all, f_end_all = _level1_uniform_tables(
-        cphi_all, inp.ar_c, inp.ai_c, f_knots_all, g0_all, inp.n_eff,
-        t_knots, f0, df, r, n_nodes, run_df,
-    )
-
-    def body(carry, mode):
-        o1r, o1i, o2r, o2i = carry
-        (pc_i, ec_i, f_start, f_end, w1r, w1i, w2r, w2i, live_i, g0) = mode
-
-        # --- gather-free dense pass over the (g_band, r) workspace ---
-        xi = ((jnp.arange(r, dtype=f32)) * f32(1.0 / r))[None, :]  # (1, r)
-        p0, p1, p2, p3 = pc_i[:, 0:1], pc_i[:, 1:2], pc_i[:, 2:3], pc_i[:, 3:4]
-        psi_d = p0 + xi * (p1 + xi * (p2 + xi * p3))
-        c_psi = jnp.cos(psi_d)
-        s_psi = jnp.sin(psi_d)
-        er0, er1, er2, er3 = ec_i[:, 0:1], ec_i[:, 1:2], ec_i[:, 2:3], ec_i[:, 3:4]
-        ei0, ei1, ei2, ei3 = ec_i[:, 4:5], ec_i[:, 5:6], ec_i[:, 6:7], ec_i[:, 7:8]
-        er_d = er0 + xi * (er1 + xi * (er2 + xi * er3))
-        ei_d = ei0 + xi * (ei1 + xi * (ei2 + xi * ei3))
-        c_re = er_d * c_psi - ei_d * s_psi
-        c_im = er_d * s_psi + ei_d * c_psi
-
-        f_node0 = f0 + g0.astype(f_pos_dtype) * run_df
-        f_bins = (
-            f_node0
-            + jnp.arange(g_band, dtype=f_pos_dtype)[:, None] * run_df
-            + (jnp.arange(r, dtype=f_pos_dtype) * df)[None, :]
+    def scan_slots(carry, cphi_s, ar_s, ai_s, fk_s, klo_s, khi_s, dirn_s,
+                   live_s, w_s, g0_s, g_band_s, n_nodes_s):
+        pc, ec, f_start_all, f_end_all = _level1_uniform_tables(
+            cphi_s, ar_s, ai_s, fk_s, g0_s, klo_s, khi_s, dirn_s,
+            t_knots, f0, df, r, n_nodes_s, run_df,
         )
-        keep = (f_bins >= f_start) & (f_bins <= f_end) & (live_i > 0)
-        # where-mask (not multiply): masked lanes can hold NaN/inf from
-        # extrapolated or non-monotone (masked-out) modes, and 0 * NaN = NaN
-        c_re = jnp.where(keep, c_re, 0.0).astype(f32)
-        c_im = jnp.where(keep, c_im, 0.0).astype(f32)
 
-        w1r32, w1i32 = w1r.astype(f32), w1i.astype(f32)
-        w2r32, w2i32 = w2r.astype(f32), w2i.astype(f32)
-        v1r = (c_re * w1r32 - c_im * w1i32).reshape(-1)
-        v1i = (c_re * w1i32 + c_im * w1r32).reshape(-1)
-        v2r = (c_re * w2r32 - c_im * w2i32).reshape(-1)
-        v2i = (c_re * w2i32 + c_im * w2r32).reshape(-1)
+        def body(carry, mode):
+            return _dense_slot_accumulate(
+                carry, mode, f0, df, r, run_df, g_band_s, f_pos_dtype
+            )
 
-        off = g0 * r
-        win = g_band * r
-
-        def rmw(acc, contrib):
-            cur = jax.lax.dynamic_slice(acc, (off,), (win,))
-            return jax.lax.dynamic_update_slice(acc, cur + contrib, (off,))
-
-        return (rmw(o1r, v1r), rmw(o1i, v1i), rmw(o2r, v2r), rmw(o2i, v2i)), None
+        carry, _ = jax.lax.scan(
+            body,
+            carry,
+            (pc, ec, f_start_all, f_end_all, w_s[0], w_s[1], w_s[2], w_s[3],
+             live_s, g0_s),
+            unroll=scan_unroll,
+        )
+        return carry
 
     zero = jnp.zeros((pad_len,), f32)
-    (o1r, o1i, o2r, o2i), _ = jax.lax.scan(
-        body,
+    carry = scan_slots(
         (zero, zero, zero, zero),
-        (
-            pc,
-            ec,
-            f_start_all,
-            f_end_all,
-            inp.w1_re,
-            inp.w1_im,
-            inp.w2_re,
-            inp.w2_im,
-            inp.mode_live,
-            g0_all,
-        ),
+        cphi_all, inp.ar_c, inp.ai_c, f_knots_all,
+        inp.inc_lo, inp.inc_hi, jnp.ones((k_max,), jnp.int32),
+        inp.inc_live, [inp.w1_re, inp.w1_im, inp.w2_re, inp.w2_im],
+        g0_main, g_band, n_nodes,
     )
+
+    if extras:
+        g_band_x = g_band if extra_band_runs is None else min(extra_band_runs, g_total)
+        ex = [jnp.concatenate([e[i] for e in extras], axis=0) for i in range(8)]
+        ex_w = [
+            jnp.concatenate([e[8][i] for e in extras]) for i in range(4)
+        ]
+        f_start_x = jnp.take_along_axis(
+            ex[3],
+            jnp.where(ex[6] > 0, ex[4], ex[5])[:, None].astype(jnp.int32),
+            axis=1,
+        )[:, 0]
+        if band_offsets_extra is not None:
+            g0_x = jnp.asarray(band_offsets_extra, jnp.int32)
+        else:
+            g0_x = jnp.floor((f_start_x - f0) / run_df).astype(jnp.int32)
+        g0_x = jnp.clip(g0_x, 0, g_total)
+        # few extra slots: UNROLLED accumulation (a second lax.scan forces
+        # copies of the 4 x pad_len f32 carry between loop bodies — measured
+        # ~10% of the whole waveform on v5e; the unrolled form fuses)
+        pc_x, ec_x, fst_x, fen_x = _level1_uniform_tables(
+            ex[0], ex[1], ex[2], ex[3], g0_x, ex[4], ex[5], ex[6],
+            t_knots, f0, df, r, g_band_x + 1, run_df,
+        )
+        o1r, o1i, o2r, o2i = carry
+        for s in range(pc_x.shape[0]):
+            (o1r, o1i, o2r, o2i), _ = _dense_slot_accumulate(
+                (o1r, o1i, o2r, o2i),
+                (pc_x[s], ec_x[s], fst_x[s], fen_x[s],
+                 ex_w[0][s], ex_w[1][s], ex_w[2][s], ex_w[3][s],
+                 ex[7][s], g0_x[s]),
+                f0, df, r, run_df, g_band_x, f_pos_dtype,
+            )
+        carry = (o1r, o1i, o2r, o2i)
+
+    o1r, o1i, o2r, o2i = carry
     dt_out = t_knots.dtype
     return (
         o1r[:nf].astype(dt_out),
@@ -699,6 +775,59 @@ def fd_mode_sum_uniform(
         o2r[:nf].astype(dt_out),
         o2i[:nf].astype(dt_out),
     )
+
+
+def _dense_slot_accumulate(carry, mode, f0, df, r, run_df, g_band_s, f_pos_dtype):
+    """One slot's gather-free dense pass + windowed accumulation.
+
+    The shared body of the banded kernel's mode scan and the unrolled
+    extra-slot path: evaluate the phase Hermite + envelope cubic over the
+    (g_band_s, r) workspace, mask to the slot's band, and read-modify-write
+    the window into the padded accumulators via contiguous dynamic slices.
+    """
+    f32 = jnp.float32
+    o1r, o1i, o2r, o2i = carry
+    (pc_i, ec_i, f_start, f_end, w1r, w1i, w2r, w2i, live_i, g0) = mode
+
+    xi = ((jnp.arange(r, dtype=f32)) * f32(1.0 / r))[None, :]  # (1, r)
+    p0, p1, p2, p3 = pc_i[:, 0:1], pc_i[:, 1:2], pc_i[:, 2:3], pc_i[:, 3:4]
+    psi_d = p0 + xi * (p1 + xi * (p2 + xi * p3))
+    c_psi = jnp.cos(psi_d)
+    s_psi = jnp.sin(psi_d)
+    er0, er1, er2, er3 = ec_i[:, 0:1], ec_i[:, 1:2], ec_i[:, 2:3], ec_i[:, 3:4]
+    ei0, ei1, ei2, ei3 = ec_i[:, 4:5], ec_i[:, 5:6], ec_i[:, 6:7], ec_i[:, 7:8]
+    er_d = er0 + xi * (er1 + xi * (er2 + xi * er3))
+    ei_d = ei0 + xi * (ei1 + xi * (ei2 + xi * ei3))
+    c_re = er_d * c_psi - ei_d * s_psi
+    c_im = er_d * s_psi + ei_d * c_psi
+
+    f_node0 = f0 + g0.astype(f_pos_dtype) * run_df
+    f_bins = (
+        f_node0
+        + jnp.arange(g_band_s, dtype=f_pos_dtype)[:, None] * run_df
+        + (jnp.arange(r, dtype=f_pos_dtype) * df)[None, :]
+    )
+    keep = (f_bins >= f_start) & (f_bins <= f_end) & (live_i > 0)
+    # where-mask (not multiply): masked lanes can hold NaN/inf from
+    # extrapolated or non-monotone (masked-out) modes, 0 * NaN = NaN
+    c_re = jnp.where(keep, c_re, 0.0).astype(f32)
+    c_im = jnp.where(keep, c_im, 0.0).astype(f32)
+
+    w1r32, w1i32 = w1r.astype(f32), w1i.astype(f32)
+    w2r32, w2i32 = w2r.astype(f32), w2i.astype(f32)
+    v1r = (c_re * w1r32 - c_im * w1i32).reshape(-1)
+    v1i = (c_re * w1i32 + c_im * w1r32).reshape(-1)
+    v2r = (c_re * w2r32 - c_im * w2i32).reshape(-1)
+    v2i = (c_re * w2i32 + c_im * w2r32).reshape(-1)
+
+    off = g0 * r
+    win = g_band_s * r
+
+    def rmw(acc, contrib):
+        cur = jax.lax.dynamic_slice(acc, (off,), (win,))
+        return jax.lax.dynamic_update_slice(acc, cur + contrib, (off,))
+
+    return (rmw(o1r, v1r), rmw(o1i, v1i), rmw(o2r, v2r), rmw(o2i, v2i)), None
 
 
 def _split_hi_lo(x: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -709,12 +838,14 @@ def _split_hi_lo(x: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 
 def _level1_uniform_tables(
-    cphi_all,  # (Mk, K-1, 4) f64 per-mode phase spline coeffs
-    ar_all,  # (Mk, K-1, 4) f64 amplitude-re spline coeffs
+    cphi_all,  # (S, K-1, 4) f64 per-slot phase spline coeffs (pre-transformed)
+    ar_all,  # (S, K-1, 4) f64 amplitude-re spline coeffs
     ai_all,
-    f_knots_all,  # (Mk, K) f64 knot frequencies
-    g0_all,  # (Mk,) int32 window-start runs
-    n_eff,  # (Mk,) int32 usable knot counts
+    f_knots_all,  # (S, K) f64 knot frequencies (of the slot's phase, signed)
+    g0_all,  # (S,) int32 window-start runs
+    k_lo,  # (S,) int32 first knot of the slot's monotone window
+    k_hi,  # (S,) int32 last knot (inclusive)
+    dirn,  # (S,) +1 increasing-in-t branch, -1 decreasing (turnover)
     t_knots,  # (K,) f64
     f0: float,
     df: float,
@@ -722,47 +853,58 @@ def _level1_uniform_tables(
     n_nodes: int,
     run_df: float,
 ):
-    """Gather-free level-1 node evaluation for ALL modes at once.
+    """Gather-free level-1 node evaluation for ALL slots at once.
 
     The TPU-shaped replacement for per-node binary search + table gathers
     (measured ~210 ns/node on v5e — the round-1 bottleneck): because the
-    node grid is UNIFORM in f and the live knot frequencies are sorted, the
-    node->segment assignment is a monotone counting problem. We build the
-    (node, boundary) compare matrix, difference it into an exact one-hot
-    selector, and fetch every per-segment quantity with ONE MXU matmul
-    (~4 ns/node measured). f64 phase inputs ride the matmul as exact
-    (hi, lo) f32 pairs: the selector rows are exactly one 1.0 and the MXU
-    accumulates in f32, so selection is bit-exact and hi + lo reconstructs
-    the f64 coefficient to double-float precision (all this device's
-    emulated f64 carries anyway).
+    node grid is UNIFORM in f and the windowed knot frequencies are
+    monotone, the node->segment assignment is a counting problem. We build
+    the (node, boundary) compare matrix over the ORIENTED window (traversed
+    ascending in f: forward in t on increasing branches, reverse on
+    decreasing ones), difference it into an exact one-hot selector, and
+    fetch every per-segment quantity with ONE MXU matmul (~4 ns/node
+    measured) against the orientation-permuted segment table. f64 phase
+    inputs ride the matmul as exact (hi, lo) f32 pairs: the selector rows
+    are exactly one 1.0 and the MXU accumulates in f32, so selection is
+    bit-exact and hi + lo reconstructs the f64 coefficient to double-float
+    precision (all this device's emulated f64 carries anyway).
 
     Returns per-run f32 tables for the dense pass: phase Hermite pc
-    (Mk, G, 4), envelope Catmull-Rom ec (Mk, G, 8), band limits f_start /
-    f_end (Mk,) in BOTH f64 and f32.
+    (S, G, 4), envelope coefficients ec (S, G, 8), band limits f_start /
+    f_end (S,) f64 (oriented: f_start < f_end always).
     """
     f32 = jnp.float32
     k = t_knots.shape[0]
     mk = cphi_all.shape[0]
     dt64 = t_knots.dtype
 
-    f_start = f_knots_all[:, 0]
-    f_end = jnp.take_along_axis(
-        f_knots_all, jnp.maximum(n_eff - 1, 0)[:, None].astype(jnp.int32), axis=1
-    )[:, 0]
+    inc = dirn[:, None] > 0
+    # oriented band limits: ascending-f traversal starts at k_lo (inc) or
+    # k_hi (dec)
+    idx_start = jnp.where(dirn > 0, k_lo, k_hi)[:, None].astype(jnp.int32)
+    idx_end = jnp.where(dirn > 0, k_hi, k_lo)[:, None].astype(jnp.int32)
+    f_start = jnp.take_along_axis(f_knots_all, idx_start, axis=1)[:, 0]
+    f_end = jnp.take_along_axis(f_knots_all, idx_end, axis=1)[:, 0]
     f_node = (
         f0
         + (g0_all.astype(dt64)[:, None] + jnp.arange(n_nodes, dtype=dt64)[None, :]) * run_df
     )  # (Mk, n_nodes)
 
     # --- segment assignment: one-hot from the monotone compare matrix ---
-    # interior boundaries b_k = f_knots[k], k = 1..K-2, masked to a huge
-    # increasing ramp beyond the live band so j = min(count, n_eff - 2);
-    # NaN boundaries (dead modes) compare false -> segment 0 -> masked later
-    kk = jnp.arange(1, k - 1)
+    # oriented interior boundaries b_j = f(oriented knot j+1), j+1 <=
+    # win_len - 1, masked to a huge increasing ramp beyond the window so
+    # count = min(count, win_len - 1); NaN boundaries (dead slots) compare
+    # false -> segment 0 -> masked later
+    win_len = (k_hi - k_lo).astype(jnp.int32)  # segments in window
+    jj = jnp.arange(1, k - 1)  # oriented knot numbers 1..K-2
+    idx_bnd = jnp.where(inc, k_lo[:, None] + jj[None, :], k_hi[:, None] - jj[None, :])
+    f_bnd = jnp.take_along_axis(
+        f_knots_all, jnp.clip(idx_bnd, 0, k - 1).astype(jnp.int32), axis=1
+    )
     bnd = jnp.where(
-        kk[None, :] <= (n_eff[:, None] - 2),
-        f_knots_all[:, 1 : k - 1],
-        1e30 * (1.0 + kk[None, :].astype(dt64)),
+        jj[None, :] <= (win_len[:, None] - 1),
+        f_bnd,
+        1e30 * (1.0 + jj[None, :].astype(dt64)),
     )  # (Mk, K-2)
     a_cmp = (bnd[:, None, :] <= f_node[:, :, None]).astype(f32)  # (Mk, N, K-2)
     ones = jnp.ones((mk, n_nodes, 1), f32)
@@ -792,6 +934,14 @@ def _level1_uniform_tables(
         ],
         axis=-1,
     )  # (Mk, K-1, 21)
+    # orientation permutation: oriented segment s -> actual segment
+    # k_lo + s (inc) or k_hi - 1 - s (dec); one cheap (K-1)-row gather per
+    # slot, NOT per node
+    ss = jnp.arange(k - 1)
+    seg_of_s = jnp.where(inc, k_lo[:, None] + ss[None, :], k_hi[:, None] - 1 - ss[None, :])
+    tab = jnp.take_along_axis(
+        tab, jnp.clip(seg_of_s, 0, k - 2).astype(jnp.int32)[:, :, None], axis=1
+    )
     g = jax.lax.dot_general(
         onehot,
         tab,
@@ -832,7 +982,8 @@ def _level1_uniform_tables(
     # 1/sqrt(fdot)); the O(run_df) envelope offset at the <=R edge bins
     # is benign while the phase must stay extrapolation-consistent.
     dx_env = jnp.clip(dx, 0.0, h_seg)
-    fdot = jnp.maximum((2.0 * c2 + 6.0 * c3 * dx_env) / _TWO_PI, 1e-300)
+    # |fdot|: the chirp rate is negative on decreasing (dirn = -1) branches
+    fdot = jnp.maximum(jnp.abs(2.0 * c2 + 6.0 * c3 * dx_env) / _TWO_PI, 1e-300)
     fddot = (6.0 * c3) / _TWO_PI
 
     dx32 = dx_env.astype(f32)
@@ -842,6 +993,10 @@ def _level1_uniform_tables(
     w32 = jnp.clip(w_arg, -1e12, -1e-30).astype(f32)  # floor only guards
     # log(0); the ascending series is accurate to w -> 0 (fold interior)
     k_re, k_im = kve_one_third_imag(w32)
+    # decreasing branch: the true Bessel argument flips sign and the factor
+    # is the complex conjugate (asymptote e^{-i pi/4}) — flip the imaginary
+    # part (same convention as the general kernel's dirn handling)
+    k_im = k_im * dirn[:, None].astype(f32)
     corr = jnp.sqrt(2.0 * jnp.abs(w32) * f32(1.0 / math.pi))
     inv_sq = jax.lax.rsqrt(jnp.maximum(fdot.astype(f32), f32(1e-37)))
     cr_f = k_re * corr * inv_sq
@@ -849,15 +1004,78 @@ def _level1_uniform_tables(
     e_re = a_re * cr_f + a_im * ci_f
     e_im = a_re * ci_f - a_im * cr_f
 
-    # --- per-run coefficients (intervals g -> g+1), f64 -> f32 ---
+    # --- anchored node quantities: every node also carries its value at
+    # the band-CLAMPED point (dx_env); f_eff is the exact frequency there
+    # (= f_node in band, = f_start / f_end for out-of-band nodes). Band-edge
+    # intervals are then interpolated between EXACT in-band anchors instead
+    # of extrapolated node values: extrapolating the last trajectory
+    # segment's cubic past the band end mislabels the edge runs (the
+    # extrapolated quadratic Phi' can bend back near plunge, where round 2
+    # measured order-unity errors in the final runs of plunge-truncated
+    # modes), while the anchored form touches the spline only inside its
+    # domain of validity. ---
+    f_eff = (c1 + dx_env * (2.0 * c2 + 3.0 * c3 * dx_env)) / _TWO_PI
+    t_eff = t_lo + dx_env
+    phi_eff = c0 + dx_env * (c1 + dx_env * (c2 + dx_env * c3))
+    psi_eff = phi_eff - _TWO_PI * f_eff * t_eff
+
+    # --- per-run phase coefficients (intervals g -> g+1), f64 -> f32 ---
+    # plain Hermite on the raw nodes (interior intervals; also the sliver
+    # fallback below)
     psi_lo, psi_hi = psi[:, :-1], psi[:, 1:]
     d_lo = -_TWO_PI * t_star[:, :-1] * run_df  # dPsi/dxi at left node
     d_hi = -_TWO_PI * t_star[:, 1:] * run_df
     dpsi = psi_hi - psi_lo
-    p0c = (psi_lo - _TWO_PI * jnp.round(psi_lo * (1.0 / _TWO_PI))).astype(f32)
-    p1c = d_lo.astype(f32)
-    p2c = (3.0 * dpsi - 2.0 * d_lo - d_hi).astype(f32)
-    p3c = (-2.0 * dpsi + d_lo + d_hi).astype(f32)
+    p0_plain = psi_lo
+    p1_plain = d_lo
+    p2_plain = 3.0 * dpsi - 2.0 * d_lo - d_hi
+    p3_plain = -2.0 * dpsi + d_lo + d_hi
+
+    # anchored Hermite: cubic in u = (xi - xa)/(xb - xa) through the
+    # clamped anchors, composed back into an xi-polynomial (dense pass and
+    # Pallas kernel stay unchanged). Interior intervals have xa = 0, xb = 1
+    # and reproduce the plain form. The f64 spine stops at the DIFFERENCES
+    # (dpsi, q0 mod 2pi, anchors); the composition arithmetic runs in f32 —
+    # v5e f64 is emulated and this per-interval tail measured ~10% of the
+    # whole waveform when kept in f64. Residual f32 error: ~|alpha|^3-
+    # amplified rounding ~2e-4 rad confined to the few edge intervals.
+    xa = ((f_eff[:, :-1] - f_node[:, :-1]) / run_df).astype(f32)
+    xb = ((f_eff[:, 1:] - f_node[:, :-1]) / run_df).astype(f32)
+    span = xb - xa
+    # slivers (band edge within span_min of a node) keep the plain Hermite:
+    # the xi-composition would blow its coefficients up as 1/span^3, and
+    # the plain form's extrapolation error is weighted by h01(u <= span) ~
+    # 3 span^2 there — negligible at span < 1/8
+    span_min = f32(0.125)
+    anchored = span >= span_min
+    span_safe = jnp.where(anchored, span, f32(1.0))
+    psi_a = psi_eff[:, :-1]
+    da = (-_TWO_PI * run_df) * t_eff[:, :-1]
+    db = (-_TWO_PI * run_df) * t_eff[:, 1:]
+    dpsi_a = (psi_eff[:, 1:] - psi_a).astype(f32)
+    q0 = (psi_a - _TWO_PI * jnp.round(psi_a * (1.0 / _TWO_PI))).astype(f32)
+    da32, db32 = da.astype(f32), db.astype(f32)
+    q1 = span_safe * da32
+    q2 = 3.0 * dpsi_a - span_safe * (2.0 * da32 + db32)
+    q3 = -2.0 * dpsi_a + span_safe * (da32 + db32)
+    beta = 1.0 / span_safe
+    alpha = -xa * beta
+    c0_anc = q0 + alpha * (q1 + alpha * (q2 + alpha * q3))
+    c1_anc = beta * (q1 + alpha * (2.0 * q2 + 3.0 * alpha * q3))
+    c2_anc = beta * beta * (q2 + 3.0 * alpha * q3)
+    c3_anc = beta * beta * beta * q3
+    two_pi32 = f32(_TWO_PI)
+    c0_anc = c0_anc - two_pi32 * jnp.round(c0_anc * f32(1.0 / _TWO_PI))
+
+    # interior intervals keep the plain Hermite with its f64-difference
+    # precision (the f32 q-differences above carry ~7e-5 rad of rounding —
+    # fine for the few edge intervals, not for the whole band)
+    use_anc = anchored & ((xa > f32(1e-4)) | (xb < f32(1.0 - 1e-4)))
+    p0_plain32 = (p0_plain - _TWO_PI * jnp.round(p0_plain * (1.0 / _TWO_PI))).astype(f32)
+    p0c = jnp.where(use_anc, c0_anc, p0_plain32)
+    p1c = jnp.where(use_anc, c1_anc, p1_plain.astype(f32))
+    p2c = jnp.where(use_anc, c2_anc, p2_plain.astype(f32))
+    p3c = jnp.where(use_anc, c3_anc, p3_plain.astype(f32))
 
     # Catmull-Rom envelope: cubic from values at g-1, g, g+1, g+2
     def cr_coeffs(v):
@@ -871,6 +1089,31 @@ def _level1_uniform_tables(
 
     er0, er1, er2, er3 = cr_coeffs(e_re)
     ei0, ei1, ei2, ei3 = cr_coeffs(e_im)
+
+    # band-EDGE intervals: affine envelope between the exact anchors
+    # E(xi) = E_a + (xi - xa) (E_b - E_a) / span (envelope node values are
+    # already evaluated at the clamped points). Same sliver fallback and
+    # edge tolerance as the phase selection.
+    is_edge = use_anc
+    xa32 = xa
+    inv_span32 = beta
+
+    def edge_affine(v):
+        v0 = v[:, :-1]
+        d = (v[:, 1:] - v0) * inv_span32
+        return v0 - xa32 * d, d
+
+    er0_l, er1_l = edge_affine(e_re.astype(f32))
+    ei0_l, ei1_l = edge_affine(e_im.astype(f32))
+    zero32 = jnp.zeros_like(er0_l)
+    er0 = jnp.where(is_edge, er0_l, er0)
+    er1 = jnp.where(is_edge, er1_l, er1)
+    er2 = jnp.where(is_edge, zero32, er2)
+    er3 = jnp.where(is_edge, zero32, er3)
+    ei0 = jnp.where(is_edge, ei0_l, ei0)
+    ei1 = jnp.where(is_edge, ei1_l, ei1)
+    ei2 = jnp.where(is_edge, zero32, ei2)
+    ei3 = jnp.where(is_edge, zero32, ei3)
 
     pc = jnp.stack([p0c, p1c, p2c, p3c], axis=-1)  # (Mk, G, 4)
     ec = jnp.stack([er0, er1, er2, er3, ei0, ei1, ei2, ei3], axis=-1)  # (Mk, G, 8)
@@ -927,8 +1170,10 @@ def fd_mode_sum_uniform_pallas(
     # band_runs must include >=128 runs of slack above the band width)
     g0_all = jnp.clip((g0_all // 128) * 128, 0, g_total)
 
+    k_max = cphi_all.shape[0]
     pc, ec, fst64, fen64 = _level1_uniform_tables(
-        cphi_all, inp.ar_c, inp.ai_c, f_knots_all, g0_all, inp.n_eff,
+        cphi_all, inp.ar_c, inp.ai_c, f_knots_all, g0_all,
+        inp.inc_lo, inp.inc_hi, jnp.ones((k_max,), jnp.int32),
         t_knots, f0, df, r, n_nodes, run_df,
     )
     f32 = jnp.float32
@@ -937,7 +1182,7 @@ def fd_mode_sum_uniform_pallas(
         [
             fst,
             fen,
-            inp.mode_live.astype(f32),
+            inp.inc_live.astype(f32),
             inp.w1_re.astype(f32),
             inp.w1_im.astype(f32),
             inp.w2_re.astype(f32),
@@ -1004,8 +1249,10 @@ def fd_mode_sum_uniform_pallas_batched(
             inp.m_sel[:, None] * inp.f_phi_knots[None, :]
             + inp.n_sel[:, None] * inp.f_r_knots[None, :]
         )
+        k_max = cphi_all.shape[0]
         pc, ec, fst64, fen64 = _level1_uniform_tables(
-            cphi_all, inp.ar_c, inp.ai_c, f_knots_all, g0_all, inp.n_eff,
+            cphi_all, inp.ar_c, inp.ai_c, f_knots_all, g0_all,
+            inp.inc_lo, inp.inc_hi, jnp.ones((k_max,), jnp.int32),
             inp.t_knots, f0, df, r, n_nodes, run_df,
         )
         f32 = jnp.float32
@@ -1014,7 +1261,7 @@ def fd_mode_sum_uniform_pallas_batched(
             [
                 fst,
                 fen,
-                inp.mode_live.astype(f32),
+                inp.inc_live.astype(f32),
                 inp.w1_re.astype(f32),
                 inp.w1_im.astype(f32),
                 inp.w2_re.astype(f32),

@@ -157,6 +157,9 @@ def fd_waveform_core(
     band_offsets=None,
     turnover_slots: int = 0,
     negative_slots: int = 0,
+    extra_band_runs: int | None = None,
+    band_offsets_extra=None,
+    scan_unroll: int = 1,
 ):
     """FD waveform on positive frequencies.
 
@@ -224,7 +227,9 @@ def fd_waveform_core(
             r_eff = max(1, min(bins_per_run, nf // 8192))
         o1r, o1i, o2r, o2i = fd_mode_sum_uniform(
             inp, f0, dfreq, nf, bins_per_run=r_eff, band_runs=band_runs,
-            band_offsets=band_offsets,
+            band_offsets=band_offsets, turnover_slots=turnover_slots,
+            negative_slots=negative_slots, extra_band_runs=extra_band_runs,
+            band_offsets_extra=band_offsets_extra, scan_unroll=scan_unroll,
         )
     else:
         o1r, o1i, o2r, o2i = fd_mode_sum(
@@ -517,9 +522,14 @@ class FastSchwarzschildEccentricFlux:
         self.output_type = sum_kwargs.get("output_type", "td")
         self.odd_len = sum_kwargs.get("odd_len", True)
         self.pad_output = sum_kwargs.get("pad_output", False)
-        # turnover/negative-frequency branch budgets for the general FD
-        # kernel (arbitrary f_arr path); 0 = single-branch behavior
-        self.turnover_slots = int(sum_kwargs.get("turnover_slots", 0))
+        # turnover/negative-frequency branch budgets for the FD kernels
+        # (both the arbitrary-f_arr general path and the banded uniform
+        # production path carry them since round 3). FD output defaults to
+        # 2 turnover slots so plunge-branch content is present by default
+        # (reference CUDA kernel behavior: every monotone branch evaluated);
+        # the second scan's narrow window budget keeps dead slots cheap.
+        default_ts = 2 if sum_kwargs.get("output_type", "td") == "fd" else 0
+        self.turnover_slots = int(sum_kwargs.get("turnover_slots", default_ts))
         self.negative_slots = int(sum_kwargs.get("negative_slots", 0))
         self.flux = sum_kwargs.get("flux", "pm")
         self.table = default_mode_table(n_max, l_max=l_max)
@@ -574,6 +584,8 @@ class FastSchwarzschildEccentricFlux:
             o1r, o1i, o2r, o2i = fd_waveform_core(
                 pro, self.table, jnp.asarray(f_pos_np),
                 channels=return_channels, uniform=(f0, dfreq),
+                turnover_slots=self.turnover_slots,
+                negative_slots=self.negative_slots,
             )
             if return_channels:
                 hp_pos = np.asarray(o1r) + 1j * np.asarray(o1i)

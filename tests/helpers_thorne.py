@@ -77,7 +77,111 @@ def _delta(a, b):
     return 1.0 if a == b else 0.0
 
 
-def thorne_h(p, e, theta, phi_v, t_grid, terms=("T1", "T2", "T3", "T4", "T5")):
+# ---- generic STF machinery for the l = 5, 6 terms (mirrors
+# tools/derive_multipoles.py; trace-removal coefficients solved numerically
+# per rank so no hand bookkeeping) ----
+import itertools as _it
+import math as _math
+from functools import lru_cache as _lru
+
+
+def _pair_partitions(positions, k):
+    positions = tuple(positions)
+    if k == 0:
+        return [((), positions)]
+    if len(positions) < 2 * k:
+        return []
+    out = []
+    first, rest = positions[0], positions[1:]
+    for pairs, rem in _pair_partitions(rest, k):
+        out.append((pairs, (first,) + rem))
+    for i in range(len(rest)):
+        pair = (first, rest[i])
+        rr = rest[:i] + rest[i + 1:]
+        for pairs, rem in _pair_partitions(rr, k - 1):
+            out.append(((pair,) + pairs, rem))
+    return out
+
+
+def _sym_delta_term(u, s, k, idx):
+    parts = _pair_partitions(tuple(range(s)), k)
+    total = None
+    cnt = 0
+    for pairs, rem in parts:
+        cnt += 1
+        if not all(idx[a] == idx[b] for a, b in pairs):
+            continue
+        val = u[tuple(idx[i] for i in rem)]
+        total = val if total is None else total + val
+    if total is None:
+        return None
+    return (1.0 / cnt) * total
+
+
+def _tensor_traces(T, s, k):
+    out = T
+    rank = s
+    for _ in range(k):
+        nxt = {}
+        for idx in _it.product(AX, repeat=rank - 2):
+            acc = None
+            for a in AX:
+                v = out[idx + (a, a)]
+                acc = v if acc is None else acc + v
+            nxt[idx] = acc
+        out = nxt
+        rank -= 2
+    return out
+
+
+@_lru(maxsize=None)
+def _stf_coeffs(s):
+    rng = np.random.default_rng(12345)
+    raw = rng.standard_normal((3,) * s)
+    sym = np.zeros_like(raw)
+    for perm in _it.permutations(range(s)):
+        sym += np.transpose(raw, perm)
+    sym /= _math.factorial(s)
+    tdict = {
+        idx: sym[tuple(AX.index(a) for a in idx)]
+        for idx in _it.product(AX, repeat=s)
+    }
+    kmax = s // 2
+    trs = [_tensor_traces(tdict, s, k) for k in range(kmax + 1)]
+    rows, rhs = [], []
+    for lead in _it.product(AX, repeat=s - 2):
+        coef = np.zeros(kmax)
+        base = 0.0
+        for a in AX:
+            idx = lead + (a, a)
+            base += tdict[idx]
+            for k in range(1, kmax + 1):
+                v = _sym_delta_term(trs[k], s, k, idx)
+                if v is not None:
+                    coef[k - 1] += v
+        rows.append(coef)
+        rhs.append(-base)
+    c, *_ = np.linalg.lstsq(np.array(rows), np.array(rhs), rcond=None)
+    assert np.abs(np.array(rows) @ c - np.array(rhs)).max() < 1e-10
+    return tuple(c)
+
+
+def _stf(T, s):
+    cks = _stf_coeffs(s)
+    trs = [None] + [_tensor_traces(T, s, k) for k in range(1, s // 2 + 1)]
+    out = {}
+    for idx in _it.product(AX, repeat=s):
+        val = T[idx]
+        for k in range(1, s // 2 + 1):
+            v = _sym_delta_term(trs[k], s, k, idx)
+            if v is not None:
+                val = val + cks[k - 1] * v
+        out[idx] = val
+    return out
+
+
+def thorne_h(p, e, theta, phi_v, t_grid,
+             terms=("T1", "T2", "T3", "T4", "T5", "T6")):
     """h_+ - i h_x from the selected Thorne-4.8 terms, mu/D stripped."""
     od = orbit_data(p, e)
     r, dphi, ell = od["r"], od["dphi"], od["ell"]
@@ -203,5 +307,82 @@ def thorne_h(p, e, theta, phi_v, t_grid, terms=("T1", "T2", "T3", "T4", "T5")):
                             if e2:
                                 tab = tab + (0.5 * e2 * N[q] * N[l] * w[j] * w[k] * 0.5) * S3[(j, pp, l)]
         h = add_h(tab, 3, h)
+
+    # ---- l = 5, 6 extension: generic STF moments ----
+    def mass_moment(s):
+        cache = {}
+        out = {}
+        for idx in _it.product(AX, repeat=s):
+            key = tuple(sorted(idx))
+            if key not in cache:
+                v = xv[key[0]]
+                for a in key[1:]:
+                    v = v * xv[a]
+                cache[key] = v
+            out[idx] = cache[key]
+        return _stf(out, s)
+
+    def current_moment(s):
+        cache = {}
+        out = {}
+        for idx in _it.product(AX, repeat=s):
+            key = tuple(sorted(idx))
+            if key not in cache:
+                acc = None
+                for i in range(s):
+                    v = Lv[key[i]]
+                    for j2, a in enumerate(key):
+                        if j2 != i:
+                            v = v * xv[a]
+                    acc = v if acc is None else acc + v
+                cache[key] = (1.0 / s) * acc
+            out[idx] = cache[key]
+        return _stf(out, s)
+
+    def mass_term(s, coeff):
+        M = mass_moment(s)
+        tab = Torus({})
+        for idx in _it.product(AX, repeat=s):
+            wgt = w[idx[0]] * w[idx[1]] * coeff * 0.5
+            for a in idx[2:]:
+                wgt = wgt * N[a]
+            if wgt != 0.0:
+                tab = tab + wgt * M[idx]
+        return tab
+
+    def current_term(s, coeff):
+        S = current_moment(s)
+        tab = Torus({})
+        for j in AX:
+            for k in AX:
+                for pp in AX:
+                    for q in AX:
+                        e1 = eps[pp + q + j]
+                        e2 = eps[pp + q + k]
+                        if e1 == 0.0 and e2 == 0.0:
+                            continue
+                        for rest in _it.product(AX, repeat=s - 2):
+                            nw = 1.0
+                            for a in rest:
+                                nw *= N[a]
+                            if nw == 0.0:
+                                continue
+                            base = 0.5 * coeff * N[q] * nw * w[j] * w[k] * 0.5
+                            if e1 != 0.0:
+                                tab = tab + (base * e1) * S[(k, pp) + rest]
+                            if e2 != 0.0:
+                                tab = tab + (base * e2) * S[(j, pp) + rest]
+        return tab
+
+    if "T6" in terms:  # current hexadecapole (l = 4 B-type)
+        h = add_h(current_term(4, 4.0 / 15.0), 4, h)
+    if "T7" in terms:  # mass 2^5-pole
+        h = add_h(mass_term(5, 1.0 / 30.0), 5, h)
+    if "T8" in terms:  # current 2^5-pole
+        h = add_h(current_term(5, 1.0 / 18.0), 5, h)
+    if "T9" in terms:  # mass 2^6-pole
+        h = add_h(mass_term(6, 1.0 / 180.0), 6, h)
+    if "T10" in terms:  # current 2^6-pole
+        h = add_h(current_term(6, 1.0 / 105.0), 6, h)
 
     return h

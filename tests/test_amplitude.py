@@ -158,6 +158,42 @@ class TestMultipoleAmplitudes:
         np.testing.assert_allclose(h_modes / scale, h_direct / scale, atol=2e-4)
 
 
+    def test_current_hexadecapole_family(self):
+        t_grid = self._grid()
+        table = _family_table([(4, 3), (4, 1)])
+        h_modes = _reconstruct_h(self.P, self.E, 1.1, 0.8, t_grid, table=table)
+        h_direct = thorne_h(self.P, self.E, 1.1, 0.8, t_grid, terms=("T6",))
+        scale = np.max(np.abs(h_direct))
+        # 4e-4: the omega^4 weighting amplifies the f32 harmonic noise of
+        # the high-n F_n coefficients relative to the l=2 families
+        np.testing.assert_allclose(h_modes / scale, h_direct / scale, atol=4e-4)
+
+    def test_l5_mass_family(self):
+        t_grid = self._grid()
+        table = _family_table([(5, 5), (5, 3), (5, 1)])
+        h_modes = _reconstruct_h(self.P, self.E, 0.9, 2.1, t_grid, table=table)
+        h_direct = thorne_h(self.P, self.E, 0.9, 2.1, t_grid, terms=("T7",))
+        scale = np.max(np.abs(h_direct))
+        np.testing.assert_allclose(h_modes / scale, h_direct / scale, atol=2e-4)
+
+    def test_l5_current_family(self):
+        t_grid = self._grid()
+        table = _family_table([(5, 4), (5, 2), (5, 0)])
+        h_modes = _reconstruct_h(self.P, self.E, 1.4, 3.0, t_grid, table=table)
+        h_direct = thorne_h(self.P, self.E, 1.4, 3.0, t_grid, terms=("T8",))
+        scale = np.max(np.abs(h_direct))
+        np.testing.assert_allclose(h_modes / scale, h_direct / scale, atol=2e-4)
+
+    def test_l6_families(self):
+        t_grid = self._grid()
+        table = _family_table([(6, 6), (6, 4), (6, 2), (6, 0), (6, 5), (6, 3), (6, 1)])
+        h_modes = _reconstruct_h(self.P, self.E, 0.7, 1.9, t_grid, table=table)
+        h_direct = thorne_h(self.P, self.E, 0.7, 1.9, t_grid, terms=("T9", "T10"))
+        scale = np.max(np.abs(h_direct))
+        # 6e-4: omega^6 noise amplification (see current-hexadecapole note)
+        np.testing.assert_allclose(h_modes / scale, h_direct / scale, atol=6e-4)
+
+
 class TestQuadrupoleAmplitudes:
 
     def test_circular_limit(self):

@@ -230,3 +230,97 @@ class TestNegativeFrequencyBranch:
         )
         for o in out:
             assert np.isfinite(np.asarray(o)).all()
+
+
+class TestBandedTurnover:
+    """Round 3: the banded uniform production kernel carries the same
+    turnover/negative content as the general kernel (second scan with its
+    own window budget)."""
+
+    def _plunging_inputs(self):
+        table = default_mode_table(16, l_max=2)
+        pro = waveform_prologue(
+            1e6, 50.0, 7.6, 0.3, 0.7, 0.5, 1.0, 0.0, 0.0,
+            t_years=1.0, table=table, k_max=32, eps=1e-2,
+        )
+        sig = _sigma(table)
+        ypr, ypi = pro.y_plus
+        ymr, ymi = pro.y_minus
+        inp = prepare_fd_inputs(
+            pro.t_knots, pro.n_live, pro.phi_phi, pro.phi_r,
+            pro.a_re, pro.a_im, table, pro.sel,
+            (sig * ymr, sig * ymi), (ypr, -ypi),
+            w1n=(ypr, ypi), w2n=(sig * ymr, -sig * ymi),
+        )
+        return inp
+
+    def test_banded_matches_general_with_slots(self):
+        from emri_frequencydomainwaveforms_tpu.models.summation_fd import (
+            fd_mode_sum_uniform,
+        )
+
+        inp = self._plunging_inputs()
+        assert int(np.asarray(inp.dec_live).sum()) >= 1
+        f0, df, nf = 1e-3, 2.5e-8, 240000
+        f = f0 + df * np.arange(nf)
+        banded = fd_mode_sum_uniform(
+            inp, f0, df, nf, bins_per_run=16, turnover_slots=4,
+            negative_slots=4, extra_band_runs=2048,
+        )
+        general = fd_mode_sum(
+            inp, jnp.asarray(f), turnover_slots=4, negative_slots=4
+        )
+        for b, g in zip(banded, general):
+            b, g = np.asarray(b), np.asarray(g)
+            scale = np.sqrt(np.mean(b**2)) + 1e-300
+            rel = np.sqrt(np.mean((b - g) ** 2)) / scale
+            # fold-resolution limit of the uniform-in-f node grid (module
+            # docstring): percent-level at the fold bins, ~2e-7 elsewhere
+            assert rel < 2e-2
+
+    def test_banded_turnover_adds_content(self):
+        from emri_frequencydomainwaveforms_tpu.models.summation_fd import (
+            fd_mode_sum_uniform,
+        )
+
+        inp = self._plunging_inputs()
+        f0, df, nf = 1e-3, 2.5e-8, 240000
+        b0 = np.asarray(fd_mode_sum_uniform(inp, f0, df, nf, bins_per_run=16)[0])
+        b4 = np.asarray(
+            fd_mode_sum_uniform(inp, f0, df, nf, bins_per_run=16, turnover_slots=4)[0]
+        )
+        rel = np.sqrt(np.mean((b4 - b0) ** 2)) / np.sqrt(np.mean(b0**2))
+        assert 1e-4 < rel < 0.5  # real, bounded decreasing-branch content
+        assert np.isfinite(b4).all()
+
+    def test_chirp_regime_agreement_tight(self):
+        # non-plunging source: banded (incl. dead extra slots) vs general
+        # at the interpolation-error level over the whole band, edges
+        # included (the round-2 exclusion zone is gone)
+        from emri_frequencydomainwaveforms_tpu.models.summation_fd import (
+            fd_mode_sum_uniform,
+        )
+
+        table = default_mode_table(30)
+        pro = waveform_prologue(
+            1e6, 50.0, 10.0, 0.4, 0.7, 0.5, 1.0, 1.0, 2.0,
+            t_years=0.05, table=table, k_max=16, eps=1e-2,
+        )
+        sig = _sigma(table)
+        ypr, ypi = pro.y_plus
+        ymr, ymi = pro.y_minus
+        inp = prepare_fd_inputs(
+            pro.t_knots, pro.n_live, pro.phi_phi, pro.phi_r,
+            pro.a_re, pro.a_im, table, pro.sel,
+            (sig * ymr, sig * ymi), (ypr, -ypi),
+        )
+        f0, df, nf = 1.7e-3, 2e-8, 60000
+        f = f0 + df * np.arange(nf)
+        banded = fd_mode_sum_uniform(
+            inp, f0, df, nf, bins_per_run=8, band_runs=4096, turnover_slots=2
+        )
+        general = fd_mode_sum(inp, jnp.asarray(f), turnover_slots=2)
+        for b, g in zip(banded, general):
+            b, g = np.asarray(b), np.asarray(g)
+            scale = np.sqrt(np.mean(b**2)) + 1e-300
+            assert np.sqrt(np.mean((b - g) ** 2)) / scale < 1e-5

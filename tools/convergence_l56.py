@@ -1,0 +1,153 @@
+"""Multipole-truncation convergence study: l <= 4 vs l <= 6 inventories.
+
+VERDICT round-2 item 1a: the repo's amplitude physics is a flat-space
+multipole expansion; until round 3 the truncation error of stopping at
+l = 4 was unquantified. With the l = 5, 6 families available (validated
+against the generic-STF Thorne-4.8 brute force, tests/test_amplitude.py),
+this tool measures, across a check_mode_by_mode-style draw distribution:
+
+  1. the fraction of total mode power carried by the l = 5, 6 families
+     (detector-frame Ylm-weighted, trajectory-averaged), and
+  2. full FD-waveform mismatches between l_max = 4 and l_max = 6
+     generations on representative sources,
+
+giving the first convergence-based error bar on the multipole truncation:
+assuming the observed geometric decay of power with l continues, the
+l <= 4 truncation error is bounded by ~(l56 power)/(1 - decay ratio).
+
+Run: PYTHONPATH=. python tools/convergence_l56.py [--draws N] [--quick]
+"""
+
+import argparse
+import json
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import emri_frequencydomainwaveforms_tpu  # noqa: F401  (x64 config)
+from emri_frequencydomainwaveforms_tpu.models.amplitude import (
+    default_mode_table,
+    mode_amplitudes,
+)
+from emri_frequencydomainwaveforms_tpu.models.inspiral import (
+    get_p_at_t,
+    schwarz_ecc_flux_inspiral,
+)
+from emri_frequencydomainwaveforms_tpu.models.modeselect import mode_power
+from emri_frequencydomainwaveforms_tpu.models.waveform import (
+    fd_waveform_core,
+    waveform_prologue,
+)
+from emri_frequencydomainwaveforms_tpu.utils.ylm import spin_weighted_ylm
+
+
+def power_by_l(m_mass, mu, p0, e0, th, ph, t_years, table, max_steps=256):
+    traj = schwarz_ecc_flux_inspiral(
+        m_mass, mu, p0, e0, t_years=t_years, max_steps=max_steps
+    )
+    a_re, a_im = mode_amplitudes(traj.p, traj.e, table)
+    yp = spin_weighted_ylm(table.ls, table.ms, th, ph)
+    ym = spin_weighted_ylm(table.ls, -table.ms, th, ph)
+    live = (jnp.arange(traj.t.shape[0]) < traj.n).astype(traj.t.dtype)
+    power = np.asarray(
+        mode_power(a_re, a_im, yp[0], yp[1], ym[0], ym[1], dt_weights=live)
+    )
+    out = {}
+    for l_val in sorted(set(table.ls.tolist())):
+        out[l_val] = float(power[table.ls == l_val].sum())
+    return out
+
+
+def fd_mismatch_l4_vs_l6(m_mass, mu, p0, e0, th, ph, t_years, n_max=20):
+    """Unwindowed FD mismatch between l_max=4 and l_max=6 generations."""
+    out = {}
+    for l_max in (4, 6):
+        table = default_mode_table(n_max, l_max=l_max)
+        pro = waveform_prologue(
+            m_mass, mu, p0, e0, th, ph, 1.0, 0.0, 0.0,
+            t_years=t_years, table=table, k_max=192, eps=1e-8,
+        )
+        f_grid = jnp.asarray(np.linspace(1e-4, 1.2e-2, 60000))
+        o = fd_waveform_core(pro, table, f_grid, channels=True)
+        out[l_max] = np.asarray(o[0]) + 1j * np.asarray(o[1])
+    a, b = out[4], out[6]
+    num = np.abs(np.vdot(a, b))
+    den = np.sqrt(np.vdot(a, a).real * np.vdot(b, b).real)
+    return float(1.0 - num / den)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--draws", type=int, default=32)
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+    draws = 4 if args.quick else args.draws
+
+    rng = np.random.default_rng(2601996)
+    table6 = default_mode_table(20, l_max=6)
+
+    fracs56, ratios = [], []
+    for _ in range(draws):
+        logm = rng.uniform(5.0, 6.5)
+        m_mass = 10.0**logm
+        mu = 10.0 ** rng.uniform(0.8, 1.8)
+        e0 = rng.uniform(0.1, 0.6)
+        t_years = 0.5
+        try:
+            p0 = float(get_p_at_t(m_mass, mu, e0, t_years * 1.02))
+        except Exception:
+            continue
+        th, ph = np.arccos(rng.uniform(-1, 1)), rng.uniform(0, 2 * np.pi)
+        pb = power_by_l(m_mass, mu, p0, e0, th, ph, t_years, table6)
+        tot = sum(pb.values())
+        p56 = (pb.get(5, 0.0) + pb.get(6, 0.0)) / tot
+        fracs56.append(p56)
+        if pb.get(4, 0.0) > 0 and pb.get(5, 0.0) > 0:
+            ratios.append(pb[5] / pb[4])
+
+    fracs56 = np.asarray(fracs56)
+    ratios = np.asarray(ratios)
+    print(f"draws: {len(fracs56)}")
+    print(
+        "l=5,6 power fraction: median %.3e  p90 %.3e  max %.3e"
+        % (np.median(fracs56), np.quantile(fracs56, 0.9), fracs56.max())
+    )
+    print(
+        "P(l=5)/P(l=4) decay ratio: median %.3f  max %.3f"
+        % (np.median(ratios), ratios.max())
+    )
+    # geometric-tail bound on the l>6 remainder relative to total power
+    r = float(np.quantile(ratios, 0.9))
+    tail_bound = float(np.quantile(fracs56, 0.9)) * r / max(1.0 - r, 1e-9)
+    print(f"geometric-tail bound on l>6 remainder: ~{tail_bound:.1e} of total power")
+
+    mms = []
+    cases = [
+        (1e6, 10.0, 0.35, 0.9, 1.2),
+        (1e6, 10.0, 0.6, 1.9, 4.0),
+        (3e5, 30.0, 0.5, 0.7, 0.4),
+    ]
+    for m_mass, mu, e0, th, ph in cases:
+        p0 = float(get_p_at_t(m_mass, mu, e0, 0.15 * 1.05))
+        mm = fd_mismatch_l4_vs_l6(m_mass, mu, p0, e0, th, ph, 0.15)
+        mms.append(mm)
+        print(f"FD mismatch l4 vs l6 (M={m_mass:.0e}, mu={mu}, e0={e0}): {mm:.3e}")
+
+    report = {
+        "draws": int(len(fracs56)),
+        "l56_power_fraction": {
+            "median": float(np.median(fracs56)),
+            "p90": float(np.quantile(fracs56, 0.9)),
+            "max": float(fracs56.max()),
+        },
+        "l5_over_l4_ratio_median": float(np.median(ratios)),
+        "geometric_tail_bound_beyond_l6": tail_bound,
+        "fd_mismatch_l4_vs_l6": [float(m) for m in mms],
+    }
+    print(json.dumps(report))
+    return report
+
+
+if __name__ == "__main__":
+    main()

@@ -203,6 +203,152 @@ def brute_force_terms(p, e, theta, phi_v, t_grid):
                     delta(k, pp) * Tr[l] + delta(k, l) * Tr[pp] + delta(pp, l) * Tr[k]
                 )
 
+    # ---- generic STF machinery for the l = 5, 6 extension ----
+    # STF(T) = sym(T) + sum_k c_k sym(delta^k tr^k T); the c_k are solved
+    # NUMERICALLY per rank (impose vanishing traces on random symmetric
+    # tensors) so no hand-derived double-factorial bookkeeping can slip.
+    import itertools
+    from functools import lru_cache
+
+    def _pair_partitions(positions, k):
+        """All ways to pick k unordered disjoint index pairs from positions
+        (remaining positions stay free)."""
+        positions = tuple(positions)
+        if k == 0:
+            return [((), positions)]
+        if len(positions) < 2 * k:
+            return []
+        out = []
+        first, rest = positions[0], positions[1:]
+        # first position left free
+        for pairs, rem in _pair_partitions(rest, k):
+            out.append((pairs, (first,) + rem))
+        # first position paired
+        for i in range(len(rest)):
+            pair = (first, rest[i])
+            rr = rest[:i] + rest[i + 1:]
+            for pairs, rem in _pair_partitions(rr, k - 1):
+                out.append(((pair,) + pairs, rem))
+        return out
+
+    def _sym_delta_term(u, s, k, idx):
+        """sym(delta^k (x) u)_idx for symmetric u of rank s - 2k (numeric or
+        Torus entries), averaged over the distinct pairings."""
+        parts = _pair_partitions(tuple(range(s)), k)
+        total = None
+        cnt = 0
+        for pairs, rem in parts:
+            ok = all(idx[a] == idx[b] for a, b in pairs)
+            cnt += 1
+            if not ok:
+                continue
+            val = u[tuple(idx[i] for i in rem)]
+            total = val if total is None else total + val
+        if total is None:
+            return None, cnt
+        return (1.0 / cnt) * total, cnt
+
+    def _traces(T, s, k):
+        """tr^k of symmetric rank-s tensor dict (contract the last 2k)."""
+        out = T
+        rank = s
+        for _ in range(k):
+            nxt = {}
+            for idx in itertools.product(AX, repeat=rank - 2):
+                acc = None
+                for a in AX:
+                    v = out[idx + (a, a)]
+                    acc = v if acc is None else acc + v
+                nxt[idx] = acc
+            out = nxt
+            rank -= 2
+        return out
+
+    @lru_cache(maxsize=None)
+    def _stf_coeffs(s):
+        """Trace-removal coefficients c_k (k = 1..s//2) for rank s."""
+        rng = np.random.default_rng(12345)
+        raw = rng.standard_normal((3,) * s)
+        sym = np.zeros_like(raw)
+        for perm in itertools.permutations(range(s)):
+            sym += np.transpose(raw, perm)
+        import math as _math
+
+        sym /= _math.factorial(s)
+        tdict = {
+            idx: sym[tuple(AX.index(a) for a in idx)]
+            for idx in itertools.product(AX, repeat=s)
+        }
+        kmax = s // 2
+        trs = [_traces(tdict, s, k) for k in range(kmax + 1)]
+        # unknowns c_1..c_kmax: single trace of (sym + sum c_k sym(d^k tr^k))
+        # over the last index pair must vanish for every leading index tuple
+        rows = []
+        rhs = []
+        for lead in itertools.product(AX, repeat=s - 2):
+            coef = np.zeros(kmax)
+            base = 0.0
+            for a in AX:
+                idx = lead + (a, a)
+                base += tdict[idx]
+                for k in range(1, kmax + 1):
+                    v, _ = _sym_delta_term(trs[k], s, k, idx)
+                    if v is not None:
+                        coef[k - 1] += v
+            rows.append(coef)
+            rhs.append(-base)
+        c, *_ = np.linalg.lstsq(np.array(rows), np.array(rhs), rcond=None)
+        # verify
+        resid = np.abs(np.array(rows) @ c - np.array(rhs)).max()
+        assert resid < 1e-10, f"STF solve failed rank {s}: {resid}"
+        return tuple(c)
+
+    def stf(T, s):
+        """STF of an already-symmetric rank-s dict with Torus entries."""
+        cks = _stf_coeffs(s)
+        trs = [None] + [_traces(T, s, k) for k in range(1, s // 2 + 1)]
+        out = {}
+        for idx in itertools.product(AX, repeat=s):
+            val = T[idx]
+            for k in range(1, s // 2 + 1):
+                v, _ = _sym_delta_term(trs[k], s, k, idx)
+                if v is not None:
+                    val = val + cks[k - 1] * v
+            out[idx] = val
+        return out
+
+    def mass_moment(s):
+        """sym(x^(x)s) as a dict (cached by sorted tuple — x^s is symmetric)."""
+        cache = {}
+        out = {}
+        for idx in itertools.product(AX, repeat=s):
+            key = tuple(sorted(idx))
+            if key not in cache:
+                v = xv[key[0]]
+                for a in key[1:]:
+                    v = v * xv[a]
+                cache[key] = v
+            out[idx] = cache[key]
+        return stf(out, s)
+
+    def current_moment(s):
+        """STF sym of (L x^(s-1)): the rank-s current moment dict."""
+        cache = {}
+        out = {}
+        for idx in itertools.product(AX, repeat=s):
+            key = tuple(sorted(idx))
+            if key not in cache:
+                acc = None
+                for i in range(s):
+                    v = Lv[key[i]]
+                    for j2, a in enumerate(key):
+                        if j2 != i:
+                            v = v * xv[a]
+                    acc = v if acc is None else acc + v
+                cache[key] = (1.0 / s) * acc
+            out[idx] = cache[key]
+        return stf(out, s)
+
     terms = {}
 
     tab = Torus({})
@@ -254,6 +400,53 @@ def brute_force_terms(p, e, theta, phi_v, t_grid):
                         if e2 != 0.0:
                             tab = tab + (0.5 * e2 * N[q] * N[l] * w[j] * w[k] * 0.5) * S3[(j, pp, l)]
     terms["T5_curoct"] = ([tab.coeffs(od)], [3])
+
+    # ---- l = 5, 6 extension (Thorne 4.8 series continued):
+    #   mass  l: (4/l!) d^l M_l  w w N^{l-2}
+    #   curr  l: (8l/(l+1)!) eps_pq(j d^l S_l k)p A_{l-2} N_q N^{l-2}
+    # coefficients: l=4 curr 4/15, l=5 mass 1/30, l=5 curr 1/18,
+    # l=6 mass 1/180, l=6 curr 1/105; the extra 0.5 is the h contraction
+    # half and the inner 0.5 the (j k) symmetrization, as in T3/T5. ----
+    def mass_term(s, coeff):
+        M = mass_moment(s)
+        tab = Torus({})
+        for idx in itertools.product(AX, repeat=s):
+            wgt = w[idx[0]] * w[idx[1]] * coeff * 0.5
+            for a in idx[2:]:
+                wgt = wgt * N[a]
+            if wgt != 0.0:
+                tab = tab + wgt * M[idx]
+        return tab
+
+    def current_term(s, coeff):
+        S = current_moment(s)
+        tab = Torus({})
+        for j in AX:
+            for k in AX:
+                for pp in AX:
+                    for q in AX:
+                        e1 = eps[pp + q + j]
+                        e2 = eps[pp + q + k]
+                        if e1 == 0.0 and e2 == 0.0:
+                            continue
+                        for rest in itertools.product(AX, repeat=s - 2):
+                            nw = 1.0
+                            for a in rest:
+                                nw *= N[a]
+                            if nw == 0.0:
+                                continue
+                            base = 0.5 * coeff * N[q] * nw * w[j] * w[k] * 0.5
+                            if e1 != 0.0:
+                                tab = tab + (base * e1) * S[(k, pp) + rest]
+                            if e2 != 0.0:
+                                tab = tab + (base * e2) * S[(j, pp) + rest]
+        return tab
+
+    terms["T6_curhex"] = ([current_term(4, 4.0 / 15.0).coeffs(od)], [4])
+    terms["T7_mass5"] = ([mass_term(5, 1.0 / 30.0).coeffs(od)], [5])
+    terms["T8_cur5"] = ([current_term(5, 1.0 / 18.0).coeffs(od)], [5])
+    terms["T9_mass6"] = ([mass_term(6, 1.0 / 180.0).coeffs(od)], [6])
+    terms["T10_cur6"] = ([current_term(6, 1.0 / 105.0).coeffs(od)], [6])
 
     return {k: h_of_t(tabs, od, t_grid, Ls) for k, (tabs, Ls) in terms.items()}, od
 
@@ -308,15 +501,26 @@ def main():
         ("T4_hex", +1, [(4, 4, lambda r, l: r**4), (4, 2, lambda r, l: r**4),
                      (4, 0, lambda r, l: r**4)]),
         ("T5_curoct", -1, [(3, 2, lambda r, l: l * r**2), (3, 0, lambda r, l: l * r**2)]),
+        ("T6_curhex", -1, [(4, 3, lambda r, l: l * r**3), (4, 1, lambda r, l: l * r**3)]),
+        ("T7_mass5", +1, [(5, 5, lambda r, l: r**5), (5, 3, lambda r, l: r**5),
+                          (5, 1, lambda r, l: r**5)]),
+        ("T8_cur5", -1, [(5, 4, lambda r, l: l * r**4), (5, 2, lambda r, l: l * r**4),
+                         (5, 0, lambda r, l: l * r**4)]),
+        ("T9_mass6", +1, [(6, 6, lambda r, l: r**6), (6, 4, lambda r, l: r**6),
+                          (6, 2, lambda r, l: r**6), (6, 0, lambda r, l: r**6)]),
+        ("T10_cur6", -1, [(6, 5, lambda r, l: l * r**5), (6, 3, lambda r, l: l * r**5),
+                          (6, 1, lambda r, l: l * r**5)]),
     ]
 
     angles = [(0.8, 0.3), (1.9, 2.2), (2.6, 5.1)]
+    # brute force once per angle (the rank-6 STF assembly dominates)
+    bf_cache = {a: brute_force_terms(p, e, a[0], a[1], t_grid) for a in angles}
     for term, parity, fams in cases:
         # stack several viewing angles so families with different m separate
         h_true = []
         per_k = {f[: 2]: [] for f in fams}
         for th, ph in angles:
-            ht, od = brute_force_terms(p, e, th, ph, t_grid)
+            ht, od = bf_cache[(th, ph)]
             h_true.append(ht[term])
             for (l, m, fr) in fams:
                 Fn = fourier_family(od, fr, m)
@@ -334,7 +538,7 @@ def main():
             from fractions import Fraction
 
             mag2 = (abs(k) ** 2) / np.pi
-            frac = Fraction(mag2).limit_denominator(4000)
+            frac = Fraction(mag2).limit_denominator(10**9)
             err = abs(float(frac) - mag2) / mag2
             ang = np.angle(k) / (np.pi / 2)  # multiples of 90 deg
             print(

@@ -1,0 +1,200 @@
+"""Full-scale PE validation run (VERDICT round-2 item 4).
+
+Runs the production `cli.emri_pe` configuration at the tutorial scale —
+M = 1e6, mu = 10, e0 = 0.35, Tobs = 1 yr, dt = 10 s, eps = 1e-2, FD
+template + FD injection, downsampled likelihood (reference `test.sh` /
+`emri_pe.py:420-451` configuration) — with 6 sampled parameters
+(lnM, ln eta, p0, e0, Phi_phi0, Phi_r0), ntemps >= 2, long enough for
+ACT-converged marginals, then validates the posterior quantitatively:
+
+  * integrated autocorrelation time and effective sample size per param;
+  * marginal standard deviations against the Fisher-matrix (Cramer-Rao)
+    predictions at the injected SNR — the in-repo analogue of the
+    reference's `covariance.npy` scale comparison (that file is a GPU
+    posterior by the reference authors and is not redistributable);
+  * truth-recovery z-scores (posterior mean vs injected values).
+
+Writes PE_VALIDATION.md + a corner plot and prints the summary. Intended
+for the real TPU chip (wall ~15-30 min); --quick runs a toy-scale smoke.
+
+Run: PYTHONPATH=.:/root/.axon_site python tools/pe_validation.py
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--nsteps", type=int, default=12000)
+    ap.add_argument("--nwalkers", type=int, default=32)
+    ap.add_argument("--ntemps", type=int, default=2)
+    ap.add_argument("--downsample", type=int, default=100)
+    ap.add_argument("--tobs", type=float, default=1.0)
+    ap.add_argument("--outname", type=str, default="pe_validation_run.h5")
+    args = ap.parse_args()
+
+    from emri_frequencydomainwaveforms_tpu.cli.emri_pe import (
+        _enable_compile_cache,
+        build_parser,
+        run_emri_pe,
+    )
+
+    _enable_compile_cache()
+
+    cli = build_parser().parse_args([])
+    cli.Tobs = 0.05 if args.quick else args.tobs
+    cli.M, cli.mu, cli.e0 = 1e6, 10.0, 0.35
+    cli.dt, cli.eps = 10.0, 1e-2
+    cli.template, cli.injectFD, cli.downsample = "fd", 1, args.downsample
+    cli.nwalkers, cli.ntemps = args.nwalkers, args.ntemps
+    cli.nsteps = 200 if args.quick else args.nsteps
+    cli.outname = args.outname
+    cli.start_scale = 1e-7
+    cli.plot = True
+
+    tic = time.perf_counter()
+    out = run_emri_pe(cli)
+    wall = time.perf_counter() - tic
+
+    chain = out["chain"]  # (nsteps, ntemps, nwalkers, 1, 6)
+    truth = out["truth"]
+    snr = float(out["snr"])
+    sampler = out["sampler"]
+
+    nsteps = chain.shape[0]
+    burn = nsteps // 4
+    cold = chain[burn:, 0, :, 0, :]  # (n, W, 6)
+    flat = cold.reshape(-1, 6)
+    flat = flat[~np.isnan(flat[:, 0])]
+
+    # ---- ACT / ESS ----
+    from emri_frequencydomainwaveforms_tpu.utils.autocorr import (
+        get_integrated_act,
+    )
+
+    act = np.atleast_1d(np.asarray(get_integrated_act(cold, average=False)))
+    ess = (cold.shape[0] * cold.shape[1]) / np.maximum(act, 1.0)
+
+    # ---- Fisher (Cramer-Rao) yardstick ----
+    import jax.numpy as jnp
+
+    from emri_frequencydomainwaveforms_tpu.lisa.diagnostic import fisher
+    from emri_frequencydomainwaveforms_tpu.lisa.sensitivity import get_sensitivity
+    from emri_frequencydomainwaveforms_tpu.models.amplitude import default_mode_table
+    from emri_frequencydomainwaveforms_tpu.models.waveform import (
+        default_frequencies,
+        fd_waveform_core,
+        waveform_prologue,
+    )
+    from emri_frequencydomainwaveforms_tpu.utils.transform import TransformContainer
+
+    t_years, dt = cli.Tobs, cli.dt
+    table = default_mode_table(30)
+    freq = default_frequencies(t_years, dt)
+    f_np = freq[freq > 0][:: max(cli.downsample, 1)]
+    f_arr = jnp.asarray(f_np)
+    uniform = (float(f_np[0]), float(f_np[1] - f_np[0]))
+    qS, phiS, qK, phiK = np.pi / 4, np.pi / 3, np.pi / 5, np.pi / 6
+    transform = TransformContainer(
+        parameter_transforms={
+            (0, 1): lambda lm, le: [jnp.exp(lm), jnp.exp(lm) * jnp.exp(le)]
+        },
+        fill_dict={
+            "ndim_full": 14,
+            "fill_values": np.array([0.0, 1.0, 1.0, qS, phiS, qK, phiK, 0.0]),
+            "fill_inds": np.array([2, 5, 6, 7, 8, 9, 10, 12]),
+        },
+    )
+
+    def wf(params6):
+        p14 = np.asarray(transform.both_transforms(jnp.asarray(params6)[None]))[0]
+        m, mu, _, p0_, e0_, _, dist_, qs, fs, _, _, pph0, _, pr0 = p14
+        pro = waveform_prologue(
+            m, mu, p0_, e0_, qs, fs, dist_, pph0, pr0,
+            t_years=t_years, table=table, k_max=48, eps=cli.eps,
+        )
+        hpr, hpi, hcr, hci = fd_waveform_core(
+            pro, table, f_arr, channels=True, uniform=uniform
+        )
+        return [
+            np.asarray(hpr) + 1j * np.asarray(hpi),
+            np.asarray(hcr) + 1j * np.asarray(hci),
+        ]
+
+    noise_fn = lambda f: np.asarray(
+        get_sensitivity(np.asarray(f), sens_fn="cornish_lisa_psd")
+    )
+    eps_fd = np.array([1e-7, 1e-6, 1e-7, 1e-7, 1e-5, 1e-5])
+    gamma = fisher(wf, truth, eps_fd, f_arr=f_np, PSD=noise_fn)
+    cov_fisher = np.linalg.pinv(gamma)
+    sig_fisher = np.sqrt(np.abs(np.diag(cov_fisher)))
+
+    sig_chain = flat.std(axis=0)
+    mean_chain = flat.mean(axis=0)
+    z = (mean_chain - truth) / np.maximum(sig_chain, 1e-300)
+    ratio = sig_chain / np.maximum(sig_fisher, 1e-300)
+
+    labels = ["lnM", "ln(mu/M)", "p0", "e0", "Phi_phi0", "Phi_r0"]
+    report = {
+        "config": {
+            "Tobs_yr": cli.Tobs, "M": cli.M, "mu": cli.mu, "e0": cli.e0,
+            "dt": cli.dt, "eps": cli.eps, "downsample": cli.downsample,
+            "nwalkers": cli.nwalkers, "ntemps": cli.ntemps,
+            "nsteps": int(nsteps), "snr": snr,
+        },
+        "wall_seconds": wall,
+        "acceptance": float(np.mean(sampler.acceptance_fraction)),
+        "act": {k: float(v) for k, v in zip(labels, act)},
+        "ess": {k: float(v) for k, v in zip(labels, ess)},
+        "sigma_chain": {k: float(v) for k, v in zip(labels, sig_chain)},
+        "sigma_fisher": {k: float(v) for k, v in zip(labels, sig_fisher)},
+        "sigma_ratio_chain_over_fisher": {
+            k: float(v) for k, v in zip(labels, ratio)
+        },
+        "truth_zscores": {k: float(v) for k, v in zip(labels, z)},
+    }
+    print(json.dumps(report, indent=2))
+
+    lines = [
+        "# PE validation run (round 3)",
+        "",
+        "Production `cli.emri_pe` configuration at the tutorial scale, run on",
+        "the real TPU chip; posterior validated against the Fisher (Cramer-Rao)",
+        "prediction at the injected SNR and ACT-converged.",
+        "",
+        f"- config: Tobs={cli.Tobs} yr, M={cli.M:.0e}, mu={cli.mu}, e0={cli.e0},",
+        f"  dt={cli.dt}, eps={cli.eps}, downsample={cli.downsample},",
+        f"  template=fd, injectFD=1, nwalkers={cli.nwalkers}, ntemps={cli.ntemps},",
+        f"  nsteps={nsteps}, SNR={snr:.1f}",
+        f"- wall: {wall:.0f} s; acceptance {report['acceptance']:.3f}",
+        "",
+        "| param | ACT | ESS | sigma_chain | sigma_Fisher | ratio | z(truth) |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for i, k in enumerate(labels):
+        lines.append(
+            f"| {k} | {act[i]:.1f} | {ess[i]:.0f} | {sig_chain[i]:.3e} | "
+            f"{sig_fisher[i]:.3e} | {ratio[i]:.2f} | {z[i]:+.2f} |"
+        )
+    lines += [
+        "",
+        "Interpretation: ratio ~ 1 means the sampled marginals match the",
+        "Cramer-Rao widths (the linear-signal regime expected at this SNR);",
+        "|z| < ~3 means the truth is recovered within statistical error.",
+        f"Corner plot: {cli.outname.replace('.h5', '_corner.png')}",
+        "",
+        "Reproduce: `PYTHONPATH=.:/root/.axon_site python tools/pe_validation.py`",
+    ]
+    with open("PE_VALIDATION.md", "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print("wrote PE_VALIDATION.md")
+    return report
+
+
+if __name__ == "__main__":
+    main()
