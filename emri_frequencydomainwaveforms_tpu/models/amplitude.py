@@ -322,7 +322,8 @@ def _orbit_harmonics(p, e, n_max: int, fam_subset: tuple[int, ...] | None = None
 
 
 def mode_amplitudes(
-    p: jax.Array, e: jax.Array, table: ModeTable
+    p: jax.Array, e: jax.Array, table: ModeTable,
+    *, tail: bool = False, tail_r0: float = 2.0,
 ) -> tuple[jax.Array, jax.Array]:
     """A_lmn(p, e) for every mode in ``table`` -> (re, im), shape (..., n_modes).
 
@@ -330,6 +331,12 @@ def mode_amplitudes(
     appended last. Covers every (l, m) family in ``_FAMILIES`` (l <= 4 mass
     + current multipoles); other modes return 0 (the interface accepts the
     full generic inventory so richer amplitude backends can swap in).
+
+    ``tail=True`` multiplies each harmonic by the factorized relativistic
+    tail factor T_lm(omega_mn) (`models.tail`) — closed-form wave-tail
+    amplification validated against the known 2 pi x^{3/2} PN amplitude
+    term (the reference's Teukolsky amplitudes carry this content;
+    notebook cell 2 `RomanAmplitude`).
     """
     n_max = int(np.max(np.abs(table.ns))) if table.num_modes else 0
 
@@ -378,7 +385,14 @@ def mode_amplitudes(
     # downstream (spline fits, FD/TD kernels) runs f64; values carry f32
     # accuracy (~1e-6 relative), orders below the 1e-4 mismatch gate
     dt = jnp.asarray(p).dtype
-    return re.astype(dt), im.astype(dt)
+    re = re.astype(dt)
+    im = im.astype(dt)
+    if tail:
+        from .tail import tail_factor
+
+        t_re, t_im = tail_factor(table.ls, omega_mn.astype(dt), r0=tail_r0)
+        re, im = re * t_re - im * t_im, re * t_im + im * t_re
+    return re, im
 
 
 class NewtonianAmplitude:

@@ -56,7 +56,7 @@ def pn_flux_e_l(p: jax.Array, e: jax.Array) -> tuple[jax.Array, jax.Array]:
     return de, dl
 
 
-def flux_from_modes(p, e, table=None) -> tuple[jax.Array, jax.Array]:
+def flux_from_modes(p, e, table=None, *, tail: bool = False) -> tuple[jax.Array, jax.Array]:
     """(Edot, Ldot)/nu from the waveform's own multipole content (jittable).
 
     Energy balance with the l <= 4 mode amplitudes: each (l, m, n) harmonic
@@ -85,6 +85,12 @@ def flux_from_modes(p, e, table=None) -> tuple[jax.Array, jax.Array]:
     n_f = jnp.asarray(table.ns.astype(np.float64))
     om = m_f * om_phi[..., None] + n_f * om_r[..., None]
     power = a_re * a_re + a_im * a_im
+    if tail:
+        # wave-tail flux enhancement |T_lm|^2 per harmonic; circular-orbit
+        # small-x limit reproduces the 4 pi x^{3/2} PN flux tail term
+        from .tail import tail_modulus_sq
+
+        power = power * tail_modulus_sq(table.ls, om)
     inv8pi = 1.0 / (8.0 * jnp.pi)
     de = -inv8pi * jnp.sum(om * om * power, axis=-1)
     dl = -inv8pi * jnp.sum(m_f * om * power, axis=-1)
@@ -107,7 +113,8 @@ class FluxGrid(NamedTuple):
 
 
 def build_flux_grid(
-    u_range=None, e_range=(1e-6, 0.78), n_u: int = 96, n_e: int = 49
+    u_range=None, e_range=(1e-6, 0.78), n_u: int = 96, n_e: int = 49,
+    tail: bool = False,
 ) -> FluxGrid:
     """Tabulate `flux_from_modes` on the (u, e) grid (host-side, once)."""
     from .amplitude_backends import _U_SHIFT
@@ -118,7 +125,7 @@ def build_flux_grid(
     es = np.linspace(e_range[0], e_range[1], n_e)
     uu, ee = np.meshgrid(us, es, indexing="ij")
     pp = np.exp(uu) - _U_SHIFT + 6.0 + 2.0 * ee
-    de, dl = flux_from_modes(jnp.asarray(pp.ravel()), jnp.asarray(ee.ravel()))
+    de, dl = flux_from_modes(jnp.asarray(pp.ravel()), jnp.asarray(ee.ravel()), tail=tail)
     vals = jnp.stack(
         [de.reshape(n_u, n_e), dl.reshape(n_u, n_e)], axis=-1
     )
@@ -128,9 +135,9 @@ def build_flux_grid(
     )
 
 
-@lru_cache(maxsize=1)
-def default_flux_grid() -> FluxGrid:
-    return build_flux_grid()
+@lru_cache(maxsize=2)
+def default_flux_grid(tail: bool = False) -> FluxGrid:
+    return build_flux_grid(tail=tail)
 
 
 def multipole_flux_e_l(p, e, grid: FluxGrid | None = None):

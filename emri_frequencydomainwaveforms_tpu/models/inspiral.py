@@ -93,10 +93,10 @@ def schwarz_ecc_flux_inspiral(
             jnp.asarray(Phi_r0, jnp.float64),
         ]
     )
-    if flux == "multipole":
+    if flux in ("multipole", "multipole_tail"):
         from .flux import default_flux_grid, multipole_flux_e_l
 
-        grid = default_flux_grid()
+        grid = default_flux_grid(tail=(flux == "multipole_tail"))
         flux_fn = lambda p_, e_: multipole_flux_e_l(p_, e_, grid)
     else:
         flux_fn = None

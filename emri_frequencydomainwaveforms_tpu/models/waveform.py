@@ -81,17 +81,22 @@ def waveform_prologue(
     forced_idx: np.ndarray | None = None,
     max_steps: int = 512,
     flux: str = "pm",
+    tail: bool = False,
 ) -> WaveformPrologue:
     """Trajectory + amplitudes + Ylm + mode selection (shared by TD/FD).
 
-    ``flux``: trajectory dissipation model — "pm" (Peters-Mathews) or
-    "multipole" (l <= 4 mode-sum flux grid; see `models.flux`).
+    ``flux``: trajectory dissipation model — "pm" (Peters-Mathews),
+    "multipole" (l <= 4 mode-sum flux grid; see `models.flux`) or
+    "multipole_tail" (same, with the |T_lm|^2 wave-tail enhancement).
+    ``tail``: apply the factorized relativistic tail factor T_lm to every
+    amplitude (`models.tail`; pair with flux="multipole_tail" to keep the
+    dissipation energy-balanced with the emitted waveform).
     """
     traj = schwarz_ecc_flux_inspiral(
         mass_1, mass_2, p0, e0, t_years=t_years, Phi_phi0=Phi_phi0, Phi_r0=Phi_r0,
         max_steps=max_steps, flux=flux,
     )
-    a_re, a_im = mode_amplitudes(traj.p, traj.e, table)  # (K, M)
+    a_re, a_im = mode_amplitudes(traj.p, traj.e, table, tail=tail)  # (K, M)
 
     yp_re, yp_im = spin_weighted_ylm(table.ls, table.ms, theta, phi)
     ym_re, ym_im = spin_weighted_ylm(table.ls, -table.ms, theta, phi)
@@ -517,8 +522,11 @@ class FastSchwarzschildEccentricFlux:
         l_max: int = 4,
         k_max: int = 64,
     ):
-        del inspiral_kwargs, amplitude_kwargs, Ylm_kwargs, use_gpu
+        del inspiral_kwargs, Ylm_kwargs, use_gpu
+        amplitude_kwargs = amplitude_kwargs or {}
         sum_kwargs = sum_kwargs or {}
+        # relativistic wave-tail amplitude correction (models.tail)
+        self.tail = bool(amplitude_kwargs.get("tail", False))
         self.output_type = sum_kwargs.get("output_type", "td")
         self.odd_len = sum_kwargs.get("odd_len", True)
         self.pad_output = sum_kwargs.get("pad_output", False)
@@ -563,7 +571,7 @@ class FastSchwarzschildEccentricFlux:
             M, mu, p0, e0, theta, phi, dist, Phi_phi0, Phi_r0,
             t_years=float(T), table=self.table,
             k_max=len(forced) if forced is not None else self.k_max,
-            eps=eps, forced_idx=forced, flux=self.flux,
+            eps=eps, forced_idx=forced, flux=self.flux, tail=self.tail,
         )
         if self.output_type == "td":
             t_grid = jnp.asarray(default_time_grid(float(T), float(dt)))
@@ -673,6 +681,7 @@ class GenerateEMRIWaveform:
         self,
         waveform_class: str = "FastSchwarzschildEccentricFlux",
         sum_kwargs=None,
+        amplitude_kwargs=None,
         return_list: bool = False,
         use_gpu=None,
         frame: str = "detector",
@@ -683,7 +692,8 @@ class GenerateEMRIWaveform:
         if waveform_class != "FastSchwarzschildEccentricFlux":
             raise NotImplementedError(waveform_class)
         self.waveform_generator = FastSchwarzschildEccentricFlux(
-            sum_kwargs=sum_kwargs, n_max=n_max, l_max=l_max, k_max=k_max
+            sum_kwargs=sum_kwargs, amplitude_kwargs=amplitude_kwargs,
+            n_max=n_max, l_max=l_max, k_max=k_max
         )
         self.return_list = return_list
         self.frame = frame
