@@ -281,32 +281,44 @@ class EnsembleSampler:
         return ll
 
     # ---- one jitted iteration (single-branch fixed-dim) ----
-    def _step(self, coords, log_like, log_prior, betas, key, iteration):
+    def _step(self, coords, log_like, log_prior, betas, key, iteration, move_info):
         logp_fn = lambda x: self._prior.logpdf(x)
 
         def logl_fn(x):
             ll = self.log_like_fn(x, *self.args, **self.kwargs)
             return jnp.asarray(ll)
 
+        def run_move(j, m, k, c, llv, lpv, minfo):
+            # stateful moves (DIME) thread their adaptation state through
+            # the move_info tuple slot aligned with the move index
+            if hasattr(m, "propose_stateful") and minfo[j] is not None:
+                c, llv, lpv, na, ms = m.propose_stateful(
+                    k, c, llv, lpv, betas, logp_fn, logl_fn, minfo[j]
+                )
+                minfo = tuple(ms if jj == j else minfo[jj] for jj in range(len(minfo)))
+            else:
+                c, llv, lpv, na = m.propose(k, c, llv, lpv, betas, logp_fn, logl_fn)
+            return c, llv, lpv, na, minfo
+
         key, k_move, k_sel, k_swap = jax.random.split(key, 4)
         if len(self.moves) == 1:
-            coords, log_like, log_prior, n_acc = self.move.propose(
-                k_move, coords, log_like, log_prior, betas, logp_fn, logl_fn
+            coords, log_like, log_prior, n_acc, move_info = run_move(
+                0, self.move, k_move, coords, log_like, log_prior, move_info
             )
         else:
             branches = [
                 (
-                    lambda args, m=m: m.propose(
-                        args[0], args[1], args[2], args[3], betas, logp_fn, logl_fn
+                    lambda args, j=j, m=m: run_move(
+                        j, m, args[0], args[1], args[2], args[3], args[4]
                     )
                 )
-                for m in self.moves
+                for j, m in enumerate(self.moves)
             ]
             idx = jax.random.choice(
                 k_sel, len(self.moves), p=jnp.asarray(self.move_weights)
             )
-            coords, log_like, log_prior, n_acc = jax.lax.switch(
-                idx, branches, (k_move, coords, log_like, log_prior)
+            coords, log_like, log_prior, n_acc, move_info = jax.lax.switch(
+                idx, branches, (k_move, coords, log_like, log_prior, move_info)
             )
         tc = self.temperature_control
         if self.ntemps > 1:
@@ -316,7 +328,7 @@ class EnsembleSampler:
             betas = tc.adapt_ladder(betas, swap_frac, iteration.astype(jnp.float64))
         else:
             swap_frac = jnp.zeros((0,))
-        return coords, log_like, log_prior, betas, key, n_acc, swap_frac
+        return coords, log_like, log_prior, betas, key, n_acc, swap_frac, move_info
 
     # ---- one jitted iteration (multi-branch / RJ) ----
     def _step_tree(self, coords, inds, log_like, log_prior, betas, key, iteration):
@@ -397,12 +409,23 @@ class EnsembleSampler:
         betas = state.betas
         key = state.random_state
 
+        ntemps, nwalkers, ndim = coords.shape
+        move_info = state.move_info
+        if move_info is None:
+            move_info = tuple(
+                m.init_move_state(ntemps, nwalkers, ndim)
+                if hasattr(m, "init_move_state")
+                else None
+                for m in self.moves
+            )
+
         it0 = self.backend.iteration * thin_by
         for i in range(iterations):
             for _ in range(thin_by):
-                coords, log_like, log_prior, betas, key, n_acc, swap_frac = self._step_jit(
+                (coords, log_like, log_prior, betas, key, n_acc, swap_frac,
+                 move_info) = self._step_jit(
                     coords, log_like, log_prior, betas, key,
-                    jnp.asarray(it0 + i, jnp.float64),
+                    jnp.asarray(it0 + i, jnp.float64), move_info,
                 )
             state = State(
                 branches={
@@ -414,6 +437,7 @@ class EnsembleSampler:
                 log_prior=log_prior,
                 betas=betas,
                 random_state=key,
+                move_info=move_info,
             )
             if store:
                 self.backend.save_step(state, np.asarray(n_acc), swap_frac=np.asarray(swap_frac))

@@ -116,72 +116,153 @@ class StretchMove:
         return coords, log_like, log_prior, n_acc
 
 
-class DIMEMove:
-    """Adaptive independence-mixture proposal (reference ``stretch.py:245``).
+class DIMEState(NamedTuple):
+    """Carried DIME adaptation state (reference move-object attributes,
+    ``Eryn/eryn/moves/stretch.py:287-289``): the exponential-memory AIMH
+    proposal moments and the log of their cumulative ensemble weight, plus
+    the previous iteration's accepted count feeding the next weight."""
 
-    The reference's DIME move (Boehl 2022) maintains an exponential-memory
-    global proposal distribution mixed with differential evolution. This
-    jit-native rebuild uses the stateless core of that idea: with
-    probability ``prob_dime`` a walker proposes from a Gaussian fitted to
-    the CURRENT ensemble (per temperature, an adaptive independence
-    sampler with the full Metropolis-Hastings q-ratio correction), else a
-    differential-evolution jump (symmetric). Exponential memory across
-    iterations and t-distribution tails are simplifications documented
-    here — the ensemble-moment refitting each call plays the same
-    adaptive role under jit without carried state.
+    mean: jax.Array  # (ndim,)
+    cov: jax.Array  # (ndim, ndim)
+    cumlweight: jax.Array  # scalar
+    naccepted: jax.Array  # scalar int32
+
+
+def _mvt_logpdf(x, mean, scale_cov, df, ndim):
+    """Multivariate Student-t logpdf with scale matrix ``scale_cov``.
+
+    The reference evaluates ``multivariate_t.logpdf(..., prop_cov *
+    (df-2)/df, df)`` (stretch.py:354-359) — same convention here: the
+    caller passes the already-(df-2)/df-scaled matrix.
+    """
+    chol = jnp.linalg.cholesky(scale_cov + 1e-12 * jnp.eye(ndim))
+    u = jax.scipy.linalg.solve_triangular(chol, (x - mean).T, lower=True).T
+    maha = jnp.sum(u * u, axis=-1)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
+    return (
+        jax.scipy.special.gammaln(0.5 * (df + ndim))
+        - jax.scipy.special.gammaln(0.5 * df)
+        - 0.5 * ndim * jnp.log(df * jnp.pi)
+        - 0.5 * logdet
+        - 0.5 * (df + ndim) * jnp.log1p(maha / df)
+    )
+
+
+class DIMEMove:
+    """Differential-Independence Mixture Ensemble move (Boehl 2022).
+
+    Full rebuild of the reference ``DIMEMove`` (``Eryn/eryn/moves/
+    stretch.py:245-366``) including the pieces the round-2 version
+    simplified away:
+
+    * **exponential memory**: the AIMH proposal moments are a cumulative
+      log-sum-exp-weighted average over ALL past ensembles (reference
+      ``update_proposal_dist``, :293-320), each weighted by
+      ``logsumexp(lprobs) + log(n_accepted) - log(nchain)`` — carried
+      across jitted iterations in a `DIMEState` threaded through the
+      sampler's ``State.move_info`` slot;
+    * **t-distribution tails**: AIMH candidates are multivariate
+      Student-t draws with ``df_proposal_dist`` dof and scale
+      ``cov (df-2)/df`` (reference ``mvt_sample``, :225-244), with the
+      exact t-density MH correction;
+    * DE branch ``x + g0 (x_a - x_b) + sigma N(0,1)`` with distinct
+      non-self partners (reference :333-339).
+
+    As in the reference, the proposal distribution pools all temperatures
+    (one global AIMH mixture). The stateless ``propose`` entry remains for
+    schedule mixing; the sampler calls ``propose_stateful`` when it
+    threads move state.
     """
 
-    def __init__(self, prob_dime: float = 0.5, sigma_scale: float = 1.2,
-                 gamma: float | None = None, periodic=None, **kwargs):
+    def __init__(self, sigma: float = 1.0e-5, gamma: float | None = None,
+                 aimh_prob: float = 0.1, df_proposal_dist: float = 10.0,
+                 periodic=None, **kwargs):
         del kwargs
-        self.prob_dime = prob_dime
-        self.sigma_scale = sigma_scale
+        self.sigma = sigma
         self.gamma = gamma
+        self.aimh_prob = aimh_prob
+        self.dft = df_proposal_dist
         self.periodic = periodic
 
+    def init_move_state(self, ntemps: int, nwalkers: int, ndim: int) -> DIMEState:
+        # reference setup(): prop_cov = I, prop_mean = 0, accepted = ones,
+        # cumlweight = -inf (stretch.py:283-291)
+        return DIMEState(
+            mean=jnp.zeros((ndim,)),
+            cov=jnp.eye(ndim),
+            cumlweight=jnp.asarray(-jnp.inf),
+            naccepted=jnp.asarray(ntemps * nwalkers, jnp.int32),
+        )
+
     def propose(self, key, coords, log_like, log_prior, betas, logp_fn, logl_fn):
+        """Stateless entry: one-shot state initialized from the ensemble."""
         ntemps, nwalkers, ndim = coords.shape
-        key, k_sel, k_g, k_pair, k_u = jax.random.split(key, 5)
+        st = self.init_move_state(ntemps, nwalkers, ndim)
+        c, ll, lp, n_acc, _ = self.propose_stateful(
+            key, coords, log_like, log_prior, betas, logp_fn, logl_fn, st
+        )
+        return c, ll, lp, n_acc
 
-        # per-temperature ensemble moments
-        mean = jnp.mean(coords, axis=1, keepdims=True)
-        xc = coords - mean
-        cov = jnp.einsum("twi,twj->tij", xc, xc) / (nwalkers - 1)
-        cov = cov + 1e-10 * jnp.eye(ndim)
-        chol = jnp.linalg.cholesky(cov) * self.sigma_scale
+    def propose_stateful(self, key, coords, log_like, log_prior, betas,
+                         logp_fn, logl_fn, move_state: DIMEState):
+        ntemps, nwalkers, ndim = coords.shape
+        nchain = ntemps * nwalkers
+        x = coords.reshape(nchain, ndim)
 
-        z = jax.random.normal(k_g, coords.shape)
-        prop_ind = mean + jnp.einsum("tij,twj->twi", chol, z)
+        # ---- update_proposal_dist (reference :293-320) ----
+        lprobs = (betas[:, None] * log_like + log_prior).reshape(nchain)
+        lweight = (
+            jax.scipy.special.logsumexp(lprobs)
+            + jnp.log(jnp.maximum(move_state.naccepted, 1).astype(x.dtype))
+            - jnp.log(float(nchain))
+        )
+        lweight = jnp.where(move_state.naccepted > 0, lweight, -jnp.inf)
+        nmean = jnp.mean(x, axis=0)
+        xc = x - nmean
+        ncov = (xc.T @ xc) / (nchain - 1)
+        newcum = jnp.logaddexp(move_state.cumlweight, lweight)
+        # guard the -inf/-inf start: weights fall back to (old=0, new=1)
+        w_old = jnp.where(
+            jnp.isfinite(newcum), jnp.exp(move_state.cumlweight - newcum), 0.0
+        )
+        w_new = jnp.where(jnp.isfinite(newcum), jnp.exp(lweight - newcum), 1.0)
+        mean = w_old * move_state.mean + w_new * nmean
+        cov = w_old * move_state.cov + w_new * ncov
+        newcum = jnp.where(jnp.isfinite(newcum), newcum, lweight)
 
-        # q-ratio for the independence proposal: log q(x) - log q(y)
-        inv_chol = jax.vmap(
-            lambda c: jax.scipy.linalg.solve_triangular(c, jnp.eye(ndim), lower=True)
-        )(chol)
+        key, k_i0, k_i1, k_f, k_sel, k_z, k_chi, k_acc = jax.random.split(key, 8)
 
-        def logq(x):
-            u = jnp.einsum("tij,twj->twi", inv_chol, x - mean)
-            return -0.5 * jnp.sum(u * u, axis=-1)
-
-        factors_ind = logq(coords) - logq(prop_ind)
-
-        # differential-evolution branch (symmetric; factors 0)
+        # ---- DE branch: distinct non-self partners (reference :333-339) ----
         gamma = self.gamma if self.gamma is not None else 2.38 / jnp.sqrt(2.0 * ndim)
-        ia = jax.random.randint(k_pair, (ntemps, nwalkers), 0, nwalkers)
-        ib = jax.random.randint(k_u, (ntemps, nwalkers), 0, nwalkers)
-        xa = jnp.take_along_axis(coords, ia[..., None], axis=1)
-        xb = jnp.take_along_axis(coords, ib[..., None], axis=1)
-        prop_de = coords + gamma * (xa - xb)
+        ar = jnp.arange(nchain)
+        i0 = ar + jax.random.randint(k_i0, (nchain,), 1, nchain)
+        i1 = ar + jax.random.randint(k_i1, (nchain,), 1, nchain - 1)
+        i1 = i1 + (i1 >= i0)
+        f = self.sigma * jax.random.normal(k_f, (nchain,))
+        q = x + gamma * (x[i0 % nchain] - x[i1 % nchain]) + f[:, None]
+        factors = jnp.zeros((nchain,), x.dtype)
 
-        use_ind = jax.random.uniform(k_sel, (ntemps, nwalkers)) < self.prob_dime
-        prop = jnp.where(use_ind[..., None], prop_ind, prop_de)
-        factors = jnp.where(use_ind, factors_ind, 0.0)
+        # ---- AIMH branch: multivariate-t candidates (reference :341-362) ----
+        scale_cov = cov * (self.dft - 2.0) / self.dft
+        chol = jnp.linalg.cholesky(scale_cov + 1e-12 * jnp.eye(ndim))
+        z = jax.random.normal(k_z, (nchain, ndim)) @ chol.T
+        chi2 = jax.random.chisquare(k_chi, self.dft, (nchain,)) / self.dft
+        xcand = mean + z / jnp.sqrt(chi2)[:, None]
+        lq_old = _mvt_logpdf(x, mean, scale_cov, self.dft, ndim)
+        lq_new = _mvt_logpdf(xcand, mean, scale_cov, self.dft, ndim)
+
+        xchnge = jax.random.uniform(k_sel, (nchain,)) <= self.aimh_prob
+        q = jnp.where(xchnge[:, None], xcand, q)
+        factors = jnp.where(xchnge, lq_old - lq_new, factors)
+
+        prop = q.reshape(ntemps, nwalkers, ndim)
+        factors = factors.reshape(ntemps, nwalkers)
 
         lp_new = logp_fn(prop.reshape(-1, ndim)).reshape(ntemps, nwalkers)
         ll_new = logl_fn(prop.reshape(-1, ndim)).reshape(ntemps, nwalkers)
         ll_new = jnp.where(jnp.isnan(ll_new), -1e300, ll_new)
         ll_new = jnp.where(jnp.isfinite(lp_new), ll_new, -1e300)
 
-        key, k_acc = jax.random.split(key)
         lnpdiff = factors + betas[:, None] * (ll_new - log_like) + (lp_new - log_prior)
         accept = jnp.log(jax.random.uniform(k_acc, (ntemps, nwalkers))) < lnpdiff
         accept = accept & jnp.isfinite(lp_new)
@@ -189,7 +270,12 @@ class DIMEMove:
         coords = jnp.where(accept[..., None], prop, coords)
         log_like = jnp.where(accept, ll_new, log_like)
         log_prior = jnp.where(accept, lp_new, log_prior)
-        return coords, log_like, log_prior, jnp.sum(accept, axis=1).astype(jnp.int32)
+        n_acc = jnp.sum(accept, axis=1).astype(jnp.int32)
+        new_state = DIMEState(
+            mean=mean, cov=cov, cumlweight=newcum,
+            naccepted=jnp.sum(accept).astype(jnp.int32),
+        )
+        return coords, log_like, log_prior, n_acc, new_state
 
 
-__all__ = ["StretchMove", "DIMEMove"]
+__all__ = ["StretchMove", "DIMEMove", "DIMEState"]

@@ -49,6 +49,11 @@ class State(NamedTuple):
     betas: jax.Array  # (ntemps,)
     random_state: jax.Array  # jax PRNG key
     blobs: Any = None
+    # carried per-move adaptation state (tuple aligned with sampler.moves;
+    # None slots for stateless moves) — e.g. DIMEMove's exponential-memory
+    # proposal moments ride the State pytree through the jitted step the way
+    # the reference keeps them as move-object attributes (stretch.py:287-289)
+    move_info: Any = None
 
     @property
     def branches_coords(self):
