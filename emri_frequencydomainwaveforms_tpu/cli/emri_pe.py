@@ -52,6 +52,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="npy file seeding the walkers: (ndim, ndim) covariance "
                         "or (N, ndim) posterior samples (reference "
                         "emri_pe.py:439-451 covariance.npy semantics)")
+    p.add_argument("-kmax", "--kmax", type=int, default=48,
+                   help="mode-slot budget of the template (eps=1e-2 keeps "
+                        "~15 modes; 16 is enough there and 3x cheaper)")
+    p.add_argument("-max_steps", "--max_steps", type=int, default=512,
+                   help="trajectory knot budget (1-yr inspirals use ~135 "
+                        "adaptive knots; the level-1 node->segment compare "
+                        "matrix scales linearly with this)")
+    p.add_argument("--subset", type=int, default=None,
+                   help="likelihood micro-batch size (reference emri_pe.py subset "
+                        "knob): chunk walkers through the template to bound peak "
+                        "HBM — needed for nwalkers*ntemps >~ 32 at 1-yr grids")
     p.add_argument("--plot", action="store_true",
                    help="write a corner plot of the cold chain "
                         "(reference emri_pe.py:577-582)")
@@ -116,7 +127,8 @@ def run_emri_pe(args) -> dict:
             m, mu, a, p0_, e0_, x0, dist_, qs, fs, qk, fk, pph0, pth0, pr0 = params14
             pro = waveform_prologue(
                 m, mu, p0_, e0_, qs, fs, dist_, pph0, pr0,
-                t_years=t_years, table=table, k_max=48, eps=eps,
+                t_years=t_years, table=table, k_max=getattr(args, 'kmax', 48),
+                eps=eps, max_steps=getattr(args, 'max_steps', 512),
             )
             hpr, hpi, hcr, hci = fd_waveform_core(
                 pro, table, f_arr, channels=True, uniform=uniform
@@ -142,7 +154,8 @@ def run_emri_pe(args) -> dict:
             m, mu, a, p0_, e0_, x0, dist_, qs, fs, qk, fk, pph0, pth0, pr0 = params14
             pro = waveform_prologue(
                 m, mu, p0_, e0_, qs, fs, dist_, pph0, pr0,
-                t_years=t_years, table=table, k_max=48, eps=eps,
+                t_years=t_years, table=table, k_max=getattr(args, 'kmax', 48),
+                eps=eps, max_steps=getattr(args, 'max_steps', 512),
             )
             hp, hc = td_waveform_core(pro, table, t_grid)
             out = []
@@ -176,7 +189,10 @@ def run_emri_pe(args) -> dict:
         data = [ch[pos_mask][::ds] for ch in fd_full]
 
     noise_fn = lambda f: np.asarray(get_sensitivity(np.asarray(f), sens_fn="cornish_lisa_psd"))
-    like = Likelihood(template, 2, f_arr=f_arr, parameter_transforms=transform)
+    like = Likelihood(
+        template, 2, f_arr=f_arr, parameter_transforms=transform,
+        subset=getattr(args, "subset", None),
+    )
     like.inject_signal(data, noise_fn=noise_fn)
     inj_snr = snr(data, f_arr=f_np, PSD=noise_fn)
     print(f"injection SNR: {inj_snr:.2f}")

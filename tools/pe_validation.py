@@ -34,6 +34,12 @@ def main():
     ap.add_argument("--nwalkers", type=int, default=32)
     ap.add_argument("--ntemps", type=int, default=2)
     ap.add_argument("--downsample", type=int, default=100)
+    ap.add_argument("--subset", type=int, default=16,
+                    help="likelihood micro-batch (bounds peak HBM; the "
+                         "(kmax, nf, max_steps) node->segment compare matrix "
+                         "is ~190 MB/walker at kmax=16, max_steps=192)")
+    ap.add_argument("--kmax", type=int, default=16)
+    ap.add_argument("--max-steps", type=int, default=192)
     ap.add_argument("--tobs", type=float, default=1.0)
     ap.add_argument("--outname", type=str, default="pe_validation_run.h5")
     args = ap.parse_args()
@@ -52,6 +58,8 @@ def main():
     cli.dt, cli.eps = 10.0, 1e-2
     cli.template, cli.injectFD, cli.downsample = "fd", 1, args.downsample
     cli.nwalkers, cli.ntemps = args.nwalkers, args.ntemps
+    cli.subset = args.subset
+    cli.kmax, cli.max_steps = args.kmax, args.max_steps
     cli.nsteps = 200 if args.quick else args.nsteps
     cli.outname = args.outname
     cli.start_scale = 1e-7
@@ -77,7 +85,7 @@ def main():
         get_integrated_act,
     )
 
-    act = np.atleast_1d(np.asarray(get_integrated_act(cold, average=False)))
+    act = np.atleast_1d(np.asarray(get_integrated_act(cold)))
     ess = (cold.shape[0] * cold.shape[1]) / np.maximum(act, 1.0)
 
     # ---- Fisher (Cramer-Rao) yardstick ----
@@ -116,7 +124,8 @@ def main():
         m, mu, _, p0_, e0_, _, dist_, qs, fs, _, _, pph0, _, pr0 = p14
         pro = waveform_prologue(
             m, mu, p0_, e0_, qs, fs, dist_, pph0, pr0,
-            t_years=t_years, table=table, k_max=48, eps=cli.eps,
+            t_years=t_years, table=table, k_max=args.kmax, eps=cli.eps,
+            max_steps=args.max_steps,
         )
         hpr, hpi, hcr, hci = fd_waveform_core(
             pro, table, f_arr, channels=True, uniform=uniform

@@ -1,0 +1,117 @@
+"""Ablation profiler for the bench hot path.
+
+Times the bench configuration (batch-128, 1-yr grid) with stages ablated to
+locate where the per-waveform milliseconds go:
+
+  * prologue        — trajectory + mode selection + spline fits + amplitudes
+  * full            — the exact bench `gen` (16 slots x 256 runs + 2 turnover)
+  * no_turnover     — extras scan removed
+  * runs=N          — main window budget swept (128/256/384) to split the
+                      marginal banded-kernel cost (level-1 nodes + dense pass
+                      both scale with the run budget) from fixed overheads
+
+Accuracy is irrelevant here (narrow budgets clip bands); timing only.
+
+Run: PYTHONPATH=.:/root/.axon_site python tools/profile_bench.py
+"""
+
+import time
+
+import numpy as np
+
+T_YEARS, DT = 1.0, 10.0
+EPS = 1e-2
+K_MAX = 16
+MAX_STEPS = 192
+BATCH = 128
+REPS = 4
+BINS_PER_RUN = 64
+
+
+def main():
+    import emri_frequencydomainwaveforms_tpu  # noqa: F401
+    import jax
+    import jax.numpy as jnp
+    from emri_frequencydomainwaveforms_tpu.models.amplitude import default_mode_table
+    from emri_frequencydomainwaveforms_tpu.models.waveform import (
+        band_offsets_for,
+        default_frequencies,
+        fd_waveform_core,
+        waveform_prologue,
+    )
+
+    table = default_mode_table(30)
+    freq = default_frequencies(T_YEARS, DT)
+    f_np = freq[freq > 0]
+    f_arr = jnp.asarray(f_np)
+    f0u, dfu = float(f_np[0]), float(f_np[1] - f_np[0])
+    uniform = (f0u, dfu)
+
+    pro_sel = waveform_prologue(
+        1e6, 10.0, 12.0, 0.35, 0.7, 0.5, 1.0, 0.0, 0.0,
+        t_years=T_YEARS, table=table, k_max=K_MAX, eps=EPS, max_steps=MAX_STEPS,
+    )
+    forced_idx = np.asarray(pro_sel.sel.idx)
+
+    def prologue(p0, e0, th, ph):
+        return waveform_prologue(
+            1e6, 10.0, p0, e0, th, ph, 1.0, 0.0, 0.0,
+            t_years=T_YEARS, table=table, k_max=K_MAX, eps=EPS,
+            max_steps=MAX_STEPS, forced_idx=forced_idx,
+        )
+
+    pro0 = prologue(12.0, 0.35, 0.7, 0.5)
+
+    rng = np.random.default_rng(7)
+    p0s = jnp.asarray(12.0 + 0.12 * (rng.random(BATCH) - 0.5))
+    e0s = jnp.asarray(0.35 + 0.03 * (rng.random(BATCH) - 0.5))
+    ths = jnp.asarray(0.7 + 0.2 * (rng.random(BATCH) - 0.5))
+    phs = jnp.asarray(0.5 + 0.2 * (rng.random(BATCH) - 0.5))
+
+    def timed(fn, label):
+        @jax.jit
+        def loop(p0s, e0s, ths, phs):
+            def body(i, acc):
+                out = fn(p0s + i * 1e-7, e0s, ths, phs)
+                leaves = jax.tree_util.tree_leaves(out)
+                return acc + sum(jnp.sum(o.astype(jnp.float64)) for o in leaves)
+            return jax.lax.fori_loop(0, REPS, body, jnp.zeros((), jnp.float64))
+
+        s = loop(p0s, e0s, ths, phs)
+        float(s)
+        t0 = time.perf_counter()
+        for _ in range(2):
+            float(loop(p0s, e0s, ths, phs))
+        dt = (time.perf_counter() - t0) / (2 * REPS * BATCH)
+        print(f"{label:28s} {dt * 1e3:8.4f} ms/wf   ({1.0 / dt:8.1f} wf/s)")
+        return dt
+
+    timed(lambda a, b, c, d: jax.vmap(prologue)(a, b, c, d), "prologue only")
+
+    def make_gen(band_runs, turnover, extra_runs):
+        offs = jnp.asarray(
+            band_offsets_for(pro0, table, f0u, dfu, BINS_PER_RUN, band_runs)
+        )
+        offs_x = jnp.zeros((turnover,), jnp.int32) if turnover else None
+
+        def gen(p0, e0, th, ph):
+            pro = prologue(p0, e0, th, ph)
+            return fd_waveform_core(
+                pro, table, f_arr, channels=True, uniform=uniform,
+                band_runs=band_runs, band_offsets=offs,
+                bins_per_run=BINS_PER_RUN, turnover_slots=turnover,
+                extra_band_runs=extra_runs if turnover else None,
+                band_offsets_extra=offs_x,
+            )
+
+        return lambda a, b, c, d: jax.vmap(gen)(a, b, c, d)
+
+    timed(make_gen(256, 2, 64), "full (bench: 256r + 2TO)")
+    timed(make_gen(256, 0, None), "no turnover (256r)")
+    timed(make_gen(384, 0, None), "runs=384")
+    timed(make_gen(128, 0, None), "runs=128")
+    timed(make_gen(64, 0, None), "runs=64")
+
+
+if __name__ == "__main__":
+    main()
