@@ -1,6 +1,14 @@
 """Move library (flat + tree contracts)."""
 
 from .gaussian import GaussianMove, MHMove
+from .gb import (
+    BruteRejectionRJ,
+    GBBruteRejectionRJ,
+    GBFreqJump,
+    MultiSourceFisherProposal,
+    PTRedBlueMove,
+    SkyMove,
+)
 from .group import CombineMove, DelayedRejectionMove, GroupStretchMove
 from .distgen import DistributionGenerate
 from .mt import MTDistGenMove, MTDistGenMoveRJ
@@ -12,6 +20,12 @@ from .tree import TreeGaussianMove, TreeStretchMove
 __all__ = [
     "GaussianMove",
     "MHMove",
+    "BruteRejectionRJ",
+    "GBBruteRejectionRJ",
+    "GBFreqJump",
+    "MultiSourceFisherProposal",
+    "PTRedBlueMove",
+    "SkyMove",
     "CombineMove",
     "DelayedRejectionMove",
     "GroupStretchMove",

@@ -245,7 +245,11 @@ class MTDistGenMoveRJ:
         logw = jnp.where(jnp.isfinite(logw), logw, -jnp.inf)
 
         # ---- selection: Gumbel-max for birth, forced try 0 for death ----
+        # (subclasses may set _greedy_select for argmax search mode,
+        # see moves.gb.BruteRejectionRJ take_max_ll)
         g = -jnp.log(-jnp.log(jax.random.uniform(k_sel, logw.shape)))
+        if getattr(self, "_greedy_select", False):
+            g = jnp.zeros_like(g)
         sel = jnp.where(do_birth, jnp.argmax(logw + g, axis=-1), 0)
 
         take = lambda arr: jnp.take_along_axis(arr, sel[..., None], axis=-1)[..., 0]

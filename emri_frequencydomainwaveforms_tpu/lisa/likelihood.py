@@ -74,6 +74,8 @@ class Likelihood:
         self.noise_factor = None
         self.injection_whitened = None
         self._ll_fn = None
+        self._dh_fn = None
+        self._last_params = None
 
     # ---- injection ----
     def inject_signal(
@@ -135,6 +137,25 @@ class Likelihood:
                 ll = ll + jnp.sum(r_re * r_re + r_im * r_im)
             return -2.0 * ll  # -1/2 * 4 * sum |d-h|^2
 
+        def single_dh(params):
+            """(<d|h>, <h|h>) for one walker (reference ``:368`` d_h,
+            ``:379`` h_h properties; whitened vectors absorb sqrt(df/PSD),
+            so <a|b> = 4 sum Re[a* b])."""
+            if transform is not None:
+                params_full = transform.both_transforms(params[None, :])[0]
+            else:
+                params_full = params
+            channels = template(params_full)
+            dh = 0.0
+            hh = 0.0
+            for (d_re, d_im), (h_re, h_im) in zip(d, channels):
+                hw_re = h_re * wf
+                hw_im = h_im * wf
+                dh = dh + jnp.sum(d_re * hw_re + d_im * hw_im)
+                hh = hh + jnp.sum(hw_re * hw_re + hw_im * hw_im)
+            return 4.0 * dh, 4.0 * hh
+
+        self._dh_fn = jax.jit(jax.vmap(single_dh))
         self._single_ll = single_ll
         if self.subset is None:
             self._ll_fn = jax.jit(jax.vmap(single_ll))
@@ -160,7 +181,25 @@ class Likelihood:
         if self._ll_fn is None:
             raise RuntimeError("call inject_signal first")
         params = jnp.atleast_2d(jnp.asarray(params))
+        self._last_params = params
         return self._ll_fn(params)
+
+    def d_h_h_h(self, params):
+        """Matched-filter components per walker: (<d|h>, <h|h>)."""
+        if self._dh_fn is None:
+            raise RuntimeError("call inject_signal first")
+        return self._dh_fn(jnp.atleast_2d(jnp.asarray(params)))
+
+    @property
+    def d_h(self):
+        """<d|h> of the last ``__call__`` batch (reference ``likelihood.py``
+        ``d_h`` property / ``old_likelihood.py:368``)."""
+        return self.d_h_h_h(self._last_params)[0]
+
+    @property
+    def h_h(self):
+        """<h|h> of the last ``__call__`` batch (reference ``:379``)."""
+        return self.d_h_h_h(self._last_params)[1]
 
 
 class GlobalLikelihood(Likelihood):

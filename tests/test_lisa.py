@@ -209,6 +209,23 @@ class TestLikelihood:
         f = jnp.asarray([1.0, 2.0, 4.0, 7.0])
         np.testing.assert_allclose(np.asarray(df_vector(f)), [1, 1, 2, 3])
 
+    def test_d_h_h_h_matched_filter_identities(self):
+        """d_h/h_h surface (reference ``likelihood.py:368,379`` and
+        ``old_likelihood.py:368,647``): at the truth <d|h> = <h|h>, the
+        template scales linearly in a, and ll = -1/2(<d|d> - 2<d|h> + <h|h>)."""
+        like = self._setup()
+        ll = np.asarray(like(jnp.asarray([[3.0], [1.5]])))
+        d_h = np.asarray(like.d_h)
+        h_h = np.asarray(like.h_h)
+        np.testing.assert_allclose(d_h[0], h_h[0], rtol=1e-10)
+        # template linear in a: h(1.5) = h(3)/2
+        np.testing.assert_allclose(h_h[1], h_h[0] / 4.0, rtol=1e-10)
+        np.testing.assert_allclose(d_h[1], d_h[0] / 2.0, rtol=1e-10)
+        d_d = h_h[0]  # injection == template at truth
+        np.testing.assert_allclose(
+            ll, -0.5 * (d_d - 2.0 * d_h + h_h), rtol=1e-8, atol=1e-8
+        )
+
 
 class TestTDIf:
     """TDIf container vs hand-computed values (reference sensitivity.py:99-371).
