@@ -136,12 +136,46 @@ def fisher(waveform_fn, params, eps, **ip_kwargs):
     return gamma
 
 
-def covariance(waveform_fn, params, eps, diagonalize: bool = False, **ip_kwargs):
-    """Inverse Fisher (reference ``:389``; the mpmath 500-dps branch is
-    replaced with numpy pinv — f64 conditioning issues should be handled by
-    parameter scaling upstream)."""
+def pinv_highprec(mat, dps: int = 500):
+    """Arbitrary-precision symmetric inverse via mpmath (reference
+    ``diagnostic.py:389`` ``precision=True`` branch).
+
+    EMRI Fisher matrices in physical coordinates routinely have condition
+    numbers beyond 1e16; f64 ``pinv`` then truncates the small eigenvalues
+    and *understates* the Cramer-Rao widths along the soft directions
+    (typically the initial phases). The reference inverts at 500 decimal
+    digits for exactly this reason; so do we. Diagonal pre-scaling
+    D^-1 (D^-1 G D^-1)^-1 D^-1 keeps the mpmath solve well-behaved.
+    """
+    import mpmath as mp
+
+    g = np.asarray(mat, dtype=np.float64)
+    d = np.sqrt(np.abs(np.diag(g)))
+    d[d == 0.0] = 1.0
+    gs = g / np.outer(d, d)
+    with mp.workdps(dps):
+        m = mp.matrix(gs.tolist())
+        minv = m ** -1
+        inv = np.array(
+            [[float(minv[i, j]) for j in range(g.shape[1])] for i in range(g.shape[0])]
+        )
+    return inv / np.outer(d, d)
+
+
+def covariance(
+    waveform_fn,
+    params,
+    eps,
+    diagonalize: bool = False,
+    precision: bool = False,
+    dps: int = 500,
+    **ip_kwargs,
+):
+    """Inverse Fisher (reference ``:389``). ``precision=True`` inverts with
+    the mpmath ``dps``-digit branch (reference parity; essential for the
+    ill-conditioned EMRI Fisher), else f64 pinv."""
     gamma = fisher(waveform_fn, params, eps, **ip_kwargs)
-    cov = np.linalg.pinv(gamma)
+    cov = pinv_highprec(gamma, dps=dps) if precision else np.linalg.pinv(gamma)
     if diagonalize:
         evals, evecs = np.linalg.eigh(cov)
         return cov, (evals, evecs)

@@ -117,6 +117,30 @@ class TestInnerProduct:
         expect = inner_product([g], [g], f_arr=f, PSD=lambda ff: np.ones_like(ff))
         np.testing.assert_allclose(gamma[0, 0], expect, rtol=1e-6)
 
+    def test_pinv_highprec_beats_f64_on_scale_disparity(self):
+        """mpmath 500-dps inverse (reference ``diagnostic.py:418-433``):
+        on a Fisher whose conditioning is dominated by diagonal scale
+        disparity (cond ~ 1e28 — typical of mixed mass/phase coordinates),
+        f64 pinv truncates the soft directions while the high-precision
+        branch recovers the exact inverse D^-1 A^-1 D^-1."""
+        from emri_frequencydomainwaveforms_tpu.lisa.diagnostic import (
+            pinv_highprec,
+        )
+
+        rng = np.random.default_rng(3)
+        q, _ = np.linalg.qr(rng.standard_normal((5, 5)))
+        a = q @ np.diag([3.0, 2.0, 1.5, 1.0, 0.5]) @ q.T  # cond 6, SPD
+        d = np.diag([1e10, 1e6, 1.0, 1e-4, 1e-4])
+        g = d @ a @ d
+        exact = np.linalg.inv(d) @ np.linalg.inv(a) @ np.linalg.inv(d)
+        hp = pinv_highprec(g)
+        np.testing.assert_allclose(hp, exact, rtol=1e-8)
+        f64 = np.linalg.pinv(g)
+        # f64 pinv truncates the soft (1e-4-scale) block: its variances
+        # come out orders of magnitude too small
+        soft_err = np.abs(np.diag(f64)[3:] / np.diag(exact)[3:] - 1.0)
+        assert soft_err.max() > 0.9
+
 
 class TestVallisneriCriterion:
     def _linear_model(self):

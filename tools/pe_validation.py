@@ -42,6 +42,9 @@ def main():
     ap.add_argument("--max-steps", type=int, default=192)
     ap.add_argument("--tobs", type=float, default=1.0)
     ap.add_argument("--outname", type=str, default="pe_validation_run.h5")
+    ap.add_argument("--reanalyze", type=str, default=None,
+                    help="path to an existing run h5: skip the MCMC, reload "
+                         "the chain, recompute the Fisher yardstick only")
     args = ap.parse_args()
 
     from emri_frequencydomainwaveforms_tpu.cli.emri_pe import (
@@ -65,14 +68,32 @@ def main():
     cli.start_scale = 1e-7
     cli.plot = True
 
-    tic = time.perf_counter()
-    out = run_emri_pe(cli)
-    wall = time.perf_counter() - tic
+    if args.reanalyze:
+        import h5py
 
-    chain = out["chain"]  # (nsteps, ntemps, nwalkers, 1, 6)
-    truth = out["truth"]
-    snr = float(out["snr"])
-    sampler = out["sampler"]
+        from emri_frequencydomainwaveforms_tpu.models.inspiral import get_p_at_t
+
+        with h5py.File(args.reanalyze, "r") as fh:
+            chain = np.asarray(fh["mcmc/chain_emri"])
+            accepted = np.asarray(fh["mcmc/accepted"])
+            it = int(fh["mcmc"].attrs["iteration"])
+        p0_truth = float(get_p_at_t(cli.M, cli.mu, cli.e0, 0.99 * cli.Tobs))
+        truth = np.array(
+            [np.log(cli.M), np.log(cli.mu / cli.M), p0_truth, cli.e0, 1.0, 2.0]
+        )
+        acceptance = float(np.mean(accepted[0]) / max(it, 1))
+        snr = None  # recomputed below from the injection
+        wall = 0.0
+        cli.outname = args.reanalyze
+    else:
+        tic = time.perf_counter()
+        out = run_emri_pe(cli)
+        wall = time.perf_counter() - tic
+        chain = out["chain"]  # (nsteps, ntemps, nwalkers, 1, 6)
+        truth = out["truth"]
+        snr = float(out["snr"])
+        sampler = out["sampler"]
+        acceptance = float(np.mean(sampler.acceptance_fraction))
 
     nsteps = chain.shape[0]
     burn = nsteps // 4
@@ -138,10 +159,33 @@ def main():
     noise_fn = lambda f: np.asarray(
         get_sensitivity(np.asarray(f), sens_fn="cornish_lisa_psd")
     )
-    eps_fd = np.array([1e-7, 1e-6, 1e-7, 1e-7, 1e-5, 1e-5])
+    if snr is None:
+        from emri_frequencydomainwaveforms_tpu.lisa.diagnostic import snr as snr_fn
+
+        h_inj = wf(truth)
+        snr = float(snr_fn(h_inj, f_arr=f_np, PSD=noise_fn))
+    # Step sizes set by the kernel's noise floor: the f32 dense pass carries
+    # ~1e-2 rad bin-phase jitter (the 6.7e-5 FD/TD mismatch budget), so
+    # finite differences need parameter steps large enough that the signal
+    # change (eps * ||dh/dp||, in SNR units) dominates that jitter, while
+    # staying inside the linear regime (eps * ||dh/dp|| << SNR). Measured
+    # at this config: ||dh/dPhi|| converges to ~150 for eps >= 1e-3 but
+    # reads ~1.3e4 of pure noise at the 1e-5 steps the reference-style
+    # defaults would use. Phases are trigonometric polynomials in the
+    # offsets (|m| <= 6), so 2.5e-2 is both noise-robust and ~1e-5 exact.
+    eps_fd = np.array([1e-6, 3e-6, 3e-6, 1e-6, 2.5e-2, 2.5e-2])
     gamma = fisher(wf, truth, eps_fd, f_arr=f_np, PSD=noise_fn)
-    cov_fisher = np.linalg.pinv(gamma)
+    # The EMRI Fisher in these coordinates is severely ill-conditioned;
+    # f64 pinv truncates the soft (phase) directions and understates the
+    # Cramer-Rao widths there. Use the reference-parity mpmath inverse
+    # (reference diagnostic.py:389 precision branch).
+    from emri_frequencydomainwaveforms_tpu.lisa.diagnostic import pinv_highprec
+
+    cond = float(np.linalg.cond(gamma))
+    cov_fisher = pinv_highprec(gamma)
     sig_fisher = np.sqrt(np.abs(np.diag(cov_fisher)))
+    sig_fisher_f64 = np.sqrt(np.abs(np.diag(np.linalg.pinv(gamma))))
+    np.save(cli.outname.replace(".h5", "_gamma.npy"), gamma)
 
     sig_chain = flat.std(axis=0)
     mean_chain = flat.mean(axis=0)
@@ -157,11 +201,15 @@ def main():
             "nsteps": int(nsteps), "snr": snr,
         },
         "wall_seconds": wall,
-        "acceptance": float(np.mean(sampler.acceptance_fraction)),
+        "acceptance": acceptance,
+        "fisher_condition_number": cond,
         "act": {k: float(v) for k, v in zip(labels, act)},
         "ess": {k: float(v) for k, v in zip(labels, ess)},
         "sigma_chain": {k: float(v) for k, v in zip(labels, sig_chain)},
         "sigma_fisher": {k: float(v) for k, v in zip(labels, sig_fisher)},
+        "sigma_fisher_f64_pinv": {
+            k: float(v) for k, v in zip(labels, sig_fisher_f64)
+        },
         "sigma_ratio_chain_over_fisher": {
             k: float(v) for k, v in zip(labels, ratio)
         },
@@ -180,21 +228,34 @@ def main():
         f"  dt={cli.dt}, eps={cli.eps}, downsample={cli.downsample},",
         f"  template=fd, injectFD=1, nwalkers={cli.nwalkers}, ntemps={cli.ntemps},",
         f"  nsteps={nsteps}, SNR={snr:.1f}",
-        f"- wall: {wall:.0f} s; acceptance {report['acceptance']:.3f}",
+        (f"- Fisher reanalysis of {args.reanalyze} (sampling wall from the "
+         f"original run); acceptance {report['acceptance']:.3f}"
+         if args.reanalyze else
+         f"- wall: {wall:.0f} s; acceptance {report['acceptance']:.3f}"),
+        f"- Fisher condition number {cond:.2e} — inverted with the",
+        "  reference-parity 500-dps mpmath branch (`pinv_highprec`);",
+        "  f64 pinv widths shown for comparison (it truncates the soft",
+        "  phase directions and understates the Cramer-Rao widths).",
         "",
-        "| param | ACT | ESS | sigma_chain | sigma_Fisher | ratio | z(truth) |",
-        "|---|---|---|---|---|---|---|",
+        "| param | ACT | ESS | sigma_chain | sigma_Fisher | sigma_F(f64 pinv) | ratio | z(truth) |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for i, k in enumerate(labels):
         lines.append(
             f"| {k} | {act[i]:.1f} | {ess[i]:.0f} | {sig_chain[i]:.3e} | "
-            f"{sig_fisher[i]:.3e} | {ratio[i]:.2f} | {z[i]:+.2f} |"
+            f"{sig_fisher[i]:.3e} | {sig_fisher_f64[i]:.3e} | "
+            f"{ratio[i]:.2f} | {z[i]:+.2f} |"
         )
     lines += [
         "",
         "Interpretation: ratio ~ 1 means the sampled marginals match the",
         "Cramer-Rao widths (the linear-signal regime expected at this SNR);",
         "|z| < ~3 means the truth is recovered within statistical error.",
+        "Ratios modestly above 1 are expected: the Fisher prediction is the",
+        "narrow (linearized, zero-noise) limit, the chain width estimate",
+        "itself carries a few-percent ESS error, and the stencil derivatives",
+        "retain some kernel-noise inflation on the steepest intrinsic",
+        "directions (which *shrinks* sigma_Fisher, raising the ratio).",
         f"Corner plot: {cli.outname.replace('.h5', '_corner.png')}",
         "",
         "Reproduce: `PYTHONPATH=.:/root/.axon_site python tools/pe_validation.py`",

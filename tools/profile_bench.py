@@ -112,6 +112,57 @@ def main():
     timed(make_gen(128, 0, None), "runs=128")
     timed(make_gen(64, 0, None), "runs=64")
 
+    # scan-unroll sweep: isolates the lax.scan carry-copy cost of the
+    # 4 x pad_len f32 accumulators (unrolled slots fuse their RMWs)
+    def make_gen_unroll(unroll):
+        offs = jnp.asarray(band_offsets_for(pro0, table, f0u, dfu, BINS_PER_RUN, 256))
+
+        def gen(p0, e0, th, ph):
+            pro = prologue(p0, e0, th, ph)
+            return fd_waveform_core(
+                pro, table, f_arr, channels=True, uniform=uniform,
+                band_runs=256, band_offsets=offs, bins_per_run=BINS_PER_RUN,
+                scan_unroll=unroll,
+            )
+
+        return lambda a, b, c, d: jax.vmap(gen)(a, b, c, d)
+
+    timed(make_gen_unroll(4), "no TO, scan_unroll=4")
+    timed(make_gen_unroll(16), "no TO, scan_unroll=16")
+
+    # Pallas-batched path (DMA-owned window accumulation, no scan carries;
+    # main increasing-branch slots only — lacks turnover content)
+    from emri_frequencydomainwaveforms_tpu.models.summation_fd import (
+        fd_mode_sum_uniform_pallas_batched,
+        prepare_fd_inputs,
+    )
+    from emri_frequencydomainwaveforms_tpu.models.waveform import _sigma
+
+    offs_p = jnp.asarray(band_offsets_for(pro0, table, f0u, dfu, BINS_PER_RUN, 256))
+    sig = _sigma(table)
+
+    def prep_one(p0, e0, th, ph):
+        pro = prologue(p0, e0, th, ph)
+        ypr, ypi = pro.y_plus
+        ymr, ymi = pro.y_minus
+        w1 = ((sig * ymr + ypr) * 0.5, (sig * ymi - ypi) * 0.5)
+        w2 = (-(sig * ymi + ypi) * 0.5, (sig * ymr - ypr) * 0.5)
+        return prepare_fd_inputs(
+            pro.t_knots, pro.n_live, pro.phi_phi, pro.phi_r,
+            pro.a_re, pro.a_im, table, pro.sel, w1, w2,
+            w1n=(w1[0], -w1[1]), w2n=(w2[0], -w2[1]),
+        )
+
+    def gen_pallas(p0s, e0s, ths, phs):
+        inp_b = jax.vmap(prep_one)(p0s, e0s, ths, phs)
+        nf = f_arr.shape[0]
+        return fd_mode_sum_uniform_pallas_batched(
+            inp_b, f0u, dfu, nf, bins_per_run=BINS_PER_RUN,
+            band_runs=256, band_offsets=offs_p,
+        )
+
+    timed(gen_pallas, "pallas batched (256r)")
+
 
 if __name__ == "__main__":
     main()
