@@ -91,18 +91,24 @@ def main() -> None:
         max_steps=MAX_STEPS,
     )
     forced_idx = np.asarray(pro_sel.sel.idx)
+    # production fast path: the table is SLICED to the frozen selection so
+    # the prologue evaluates amplitudes only for the kept modes (the
+    # 519-candidate evaluation costs ~0.09 ms/wf; the 16 kept ~0.04);
+    # gate 1b below still scores coverage against the FULL candidate table
+    table_k = table.take(forced_idx)
+    idx_k = np.arange(len(forced_idx))
 
     def prologue(p0, e0, th, ph):
         return waveform_prologue(
             1e6, 10.0, p0, e0, th, ph, 1.0, 0.0, 0.0,
-            t_years=T_YEARS, table=table, k_max=K_MAX, eps=EPS,
-            max_steps=MAX_STEPS, forced_idx=forced_idx,
+            t_years=T_YEARS, table=table_k, k_max=K_MAX, eps=EPS,
+            max_steps=MAX_STEPS, forced_idx=idx_k,
         )
 
     # shared band windows from the same representative source
     pro0 = prologue(12.0, 0.35, 0.7, 0.5)
     offsets_j = jnp.asarray(
-        band_offsets_for(pro0, table, f0u, dfu, BINS_PER_RUN, BAND_RUNS)
+        band_offsets_for(pro0, table_k, f0u, dfu, BINS_PER_RUN, BAND_RUNS)
     )
 
     # shared extra-slot window offsets: the batch has no live turnover
@@ -113,10 +119,11 @@ def main() -> None:
     def gen(p0, e0, th, ph):
         pro = prologue(p0, e0, th, ph)
         return fd_waveform_core(
-            pro, table, f_arr, channels=True, uniform=uniform,
+            pro, table_k, f_arr, channels=True, uniform=uniform,
             band_runs=BAND_RUNS, band_offsets=offsets_j,
             bins_per_run=BINS_PER_RUN, turnover_slots=TURNOVER_SLOTS,
             extra_band_runs=EXTRA_BAND_RUNS, band_offsets_extra=offsets_extra,
+            out_f32=True,
         )
 
     # posterior-wide walker batch
@@ -174,7 +181,7 @@ def main() -> None:
     pro_l0 = jax.jit(prologue)(p0s[0], e0s[0], ths[0], phs[0])
     banded = jax.jit(gen)(p0s[0], e0s[0], ths[0], phs[0])
     general = jax.jit(
-        lambda pro: fd_waveform_core(pro, table, f_arr[jnp.asarray(sub)], channels=True)
+        lambda pro: fd_waveform_core(pro, table_k, f_arr[jnp.asarray(sub)], channels=True)
     )(pro_l0)
 
     checks["xcheck_bins"] = int(len(sub))
@@ -225,7 +232,7 @@ def main() -> None:
 
     # ---- gate 2: FD/TD Hann mismatch at the full 1-yr config ----
     t_grid = jnp.asarray(default_time_grid(T_YEARS, DT))
-    hp_td, hc_td = jax.jit(lambda pro: td_waveform_core(pro, table, t_grid))(pro_l0)
+    hp_td, hc_td = jax.jit(lambda pro: td_waveform_core(pro, table_k, t_grid))(pro_l0)
     hp_td, hc_td = np.asarray(hp_td), np.asarray(hc_td)
     hp_fd_pos = np.asarray(banded[0]) + 1j * np.asarray(banded[1])
     hc_fd_pos = np.asarray(banded[2]) + 1j * np.asarray(banded[3])

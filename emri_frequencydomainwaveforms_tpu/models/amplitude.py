@@ -129,6 +129,19 @@ class ModeTable(NamedTuple):
     def num_modes(self) -> int:
         return len(self.ls)
 
+    def take(self, idx) -> "ModeTable":
+        """Static (host-side) sub-table of the given candidate indices.
+
+        The production fast path slices the table to a frozen mode
+        selection BEFORE the prologue so amplitudes/Ylm evaluate only for
+        the kept modes (519-candidate amplitude evaluation costs ~0.09
+        ms/waveform at batch 128 on v5e; the 16 kept modes cost ~0.04).
+        Pass the SAME sliced table to the summation kernels with
+        ``forced_idx=np.arange(len(idx))``.
+        """
+        idx = np.asarray(idx)
+        return ModeTable(ls=self.ls[idx], ms=self.ms[idx], ns=self.ns[idx])
+
 
 def default_mode_table(n_max: int = 30, l_max: int = 4) -> ModeTable:
     """Multipole inventory through ``l_max`` (families in _FAMILIES;

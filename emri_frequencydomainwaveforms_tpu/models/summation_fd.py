@@ -584,6 +584,7 @@ def fd_mode_sum_uniform(
     band_offsets_extra: jax.Array | None = None,
     extra_band_runs: int | None = None,
     scan_unroll: int = 1,
+    out_dtype=None,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Gather-minimal FD summation for UNIFORM output grids f = f0 + i*df.
 
@@ -768,7 +769,10 @@ def fd_mode_sum_uniform(
         carry = (o1r, o1i, o2r, o2i)
 
     o1r, o1i, o2r, o2i = carry
-    dt_out = t_knots.dtype
+    # the accumulators are f32 (the dense pass's native precision); the
+    # default f64 cast is interface convenience — out_dtype=float32 skips
+    # it on hot paths (halves the output write traffic, no information)
+    dt_out = t_knots.dtype if out_dtype is None else out_dtype
     return (
         o1r[:nf].astype(dt_out),
         o1i[:nf].astype(dt_out),

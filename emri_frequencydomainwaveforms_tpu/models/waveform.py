@@ -165,6 +165,7 @@ def fd_waveform_core(
     extra_band_runs: int | None = None,
     band_offsets_extra=None,
     scan_unroll: int = 1,
+    out_f32: bool = False,
 ):
     """FD waveform on positive frequencies.
 
@@ -182,6 +183,13 @@ def fd_waveform_core(
     batch (see `fd_mode_sum_uniform` — per-lane offsets degrade the window
     accumulation to scatter; compute them once per batch via
     `band_offsets_for`).
+
+    out_f32=True returns the banded kernel's native f32 spectra instead of
+    casting to f64 — the dense pass is f32 throughout, so the cast adds no
+    information while writing 2x the bytes over the 1.58M-bin grid; hot
+    paths (bench, likelihood) consume f32 and fuse any upcast into their
+    reductions. The distance scaling rides the per-mode weights (k_max
+    values) rather than a full-grid multiply for the same reason.
     """
     sig = _sigma(table)
     ypr, ypi = pro.y_plus
@@ -201,6 +209,14 @@ def fd_waveform_core(
         # C~ sigma conj(Y^-)  ->  (conj(w2), conj(w1))
         w1n = (ypr, ypi)
         w2n = (sig * ymr, -sig * ymi)
+
+    # distance scaling folded into the k_max-sized weights: a post-kernel
+    # multiply would read+write the full grid (4 x nf) once more
+    d = pro.dist_factor
+    w1 = (w1[0] * d, w1[1] * d)
+    w2 = (w2[0] * d, w2[1] * d)
+    w1n = (w1n[0] * d, w1n[1] * d)
+    w2n = (w2n[0] * d, w2n[1] * d)
 
     inp = prepare_fd_inputs(
         pro.t_knots,
@@ -235,14 +251,14 @@ def fd_waveform_core(
             band_offsets=band_offsets, turnover_slots=turnover_slots,
             negative_slots=negative_slots, extra_band_runs=extra_band_runs,
             band_offsets_extra=band_offsets_extra, scan_unroll=scan_unroll,
+            out_dtype=jnp.float32 if out_f32 else None,
         )
     else:
         o1r, o1i, o2r, o2i = fd_mode_sum(
             inp, f_pos, turnover_slots=turnover_slots,
             negative_slots=negative_slots,
         )
-    d = pro.dist_factor
-    return o1r * d, o1i * d, o2r * d, o2i * d
+    return o1r, o1i, o2r, o2i
 
 
 def _detect_uniform_grid(freq: np.ndarray):
