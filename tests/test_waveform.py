@@ -203,6 +203,40 @@ class TestFrozenSelection:
         )
         assert all(np.isfinite(np.asarray(o)).all() for o in out)
 
+        # out_f32 fast path: f32 view of the same spectra (dtype only), and
+        # the sliced-table prologue (ModeTable.take + arange forced_idx)
+        # reproduces the full-table frozen waveform to f32 reassociation
+        # (the amplitude projection matmul tiles differently at 16 vs 519
+        # columns, so accumulation order shifts at the ~1e-7 f32 level)
+        out32 = fd_waveform_core(
+            pro_l, table, jnp.asarray(f_np), channels=True,
+            uniform=(f0u, dfu), band_runs=fz.band_runs,
+            band_offsets=jnp.asarray(fz.band_offsets),
+            bins_per_run=fz.bins_per_run, out_f32=True,
+        )
+        assert all(o.dtype == jnp.float32 for o in out32)
+        for a, b in zip(out, out32):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b), rtol=0, atol=0
+            )
+        table_k = table.take(fz.forced_idx)
+        pro_k = waveform_prologue(
+            1e6, 10.0, 12.03, 0.352, 0.72, 0.52, 1.0, 0.0, 0.0,
+            t_years=0.1, table=table_k, k_max=len(fz.forced_idx), eps=1e-2,
+            max_steps=128, forced_idx=np.arange(len(fz.forced_idx)),
+        )
+        out_k = fd_waveform_core(
+            pro_k, table_k, jnp.asarray(f_np), channels=True,
+            uniform=(f0u, dfu), band_runs=fz.band_runs,
+            band_offsets=jnp.asarray(fz.band_offsets),
+            bins_per_run=fz.bins_per_run,
+        )
+        for a, b in zip(out, out_k):
+            a = np.asarray(a)
+            b = np.asarray(b)
+            scale = np.sqrt(np.mean(a**2)) + 1e-300
+            assert np.sqrt(np.mean((a - b) ** 2)) / scale < 1e-6
+
         live = (jnp.arange(pro_l.t_knots.shape[0]) < pro_l.n_live).astype(
             jnp.float64
         )
