@@ -63,6 +63,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="likelihood micro-batch size (reference emri_pe.py subset "
                         "knob): chunk walkers through the template to bound peak "
                         "HBM — needed for nwalkers*ntemps >~ 32 at 1-yr grids")
+    p.add_argument("--freeze-selection", dest="freeze_selection", type=int,
+                   default=1,
+                   help="1 (default): freeze the eps mode selection at the "
+                        "injection point and slice the mode table to it — the "
+                        "production fast path (amplitudes/Ylm evaluate only "
+                        "for kept modes; bench gate 1b semantics). 0: per-"
+                        "walker eps selection over the full candidate table.")
     p.add_argument("--plot", action="store_true",
                    help="write a corner plot of the cold chain "
                         "(reference emri_pe.py:577-582)")
@@ -105,6 +112,25 @@ def run_emri_pe(args) -> dict:
     f_arr = jnp.asarray(f_np)
     uniform = (float(f_np[0]), float(f_np[1] - f_np[0]))
 
+    # production fast path (default): freeze the eps selection at the
+    # injection point and slice the candidate table to it, so every
+    # template evaluation computes amplitudes/Ylm only for kept modes
+    # (bench gate-1b semantics: the frozen set carries >= 1 - eps of the
+    # mode power across the posterior bulk)
+    kmax = getattr(args, "kmax", 48)
+    max_steps = getattr(args, "max_steps", 512)
+    if getattr(args, "freeze_selection", 1):
+        pro_inj = waveform_prologue(
+            args.M, args.mu, p0, args.e0, np.pi / 4, np.pi / 3, 1.0, 1.0, 2.0,
+            t_years=t_years, table=table, k_max=kmax, eps=args.eps,
+            max_steps=max_steps,
+        )
+        forced = np.asarray(pro_inj.sel.idx)
+        table_t = table.take(forced)
+        idx_t = np.arange(len(forced))
+    else:
+        table_t, idx_t = table, None
+
     # fixed parameters filled at likelihood time (reference :161-206)
     qS, phiS, qK, phiK = np.pi / 4, np.pi / 3, np.pi / 5, np.pi / 6
     dist = 1.0
@@ -127,11 +153,11 @@ def run_emri_pe(args) -> dict:
             m, mu, a, p0_, e0_, x0, dist_, qs, fs, qk, fk, pph0, pth0, pr0 = params14
             pro = waveform_prologue(
                 m, mu, p0_, e0_, qs, fs, dist_, pph0, pr0,
-                t_years=t_years, table=table, k_max=getattr(args, 'kmax', 48),
-                eps=eps, max_steps=getattr(args, 'max_steps', 512),
+                t_years=t_years, table=table_t, k_max=kmax,
+                eps=eps, max_steps=max_steps, forced_idx=idx_t,
             )
             hpr, hpi, hcr, hci = fd_waveform_core(
-                pro, table, f_arr, channels=True, uniform=uniform
+                pro, table_t, f_arr, channels=True, uniform=uniform
             )
             return [(hpr, hpi), (hcr, hci)]
 
@@ -154,10 +180,10 @@ def run_emri_pe(args) -> dict:
             m, mu, a, p0_, e0_, x0, dist_, qs, fs, qk, fk, pph0, pth0, pr0 = params14
             pro = waveform_prologue(
                 m, mu, p0_, e0_, qs, fs, dist_, pph0, pr0,
-                t_years=t_years, table=table, k_max=getattr(args, 'kmax', 48),
-                eps=eps, max_steps=getattr(args, 'max_steps', 512),
+                t_years=t_years, table=table_t, k_max=kmax,
+                eps=eps, max_steps=max_steps, forced_idx=idx_t,
             )
-            hp, hc = td_waveform_core(pro, table, t_grid)
+            hp, hc = td_waveform_core(pro, table_t, t_grid)
             out = []
             for h in (hp, hc):
                 # direct DFT at the analysis bins: XLA's TPU rfft of the odd
