@@ -50,7 +50,7 @@ class Trajectory(NamedTuple):
     n: jax.Array  # live knot count
 
 
-@partial(jax.jit, static_argnames=("max_steps", "rtol", "flux"))
+@partial(jax.jit, static_argnames=("max_steps", "rtol", "flux", "method"))
 def schwarz_ecc_flux_inspiral(
     mass_1: jax.Array,
     mass_2: jax.Array,
@@ -64,6 +64,7 @@ def schwarz_ecc_flux_inspiral(
     rtol: float = 1e-11,
     delta_p_stop: float = 0.12,
     flux: str = "pm",
+    method: str = "dp5",
 ) -> Trajectory:
     """Integrate the Schwarzschild eccentric flux inspiral.
 
@@ -76,9 +77,23 @@ def schwarz_ecc_flux_inspiral(
         "multipole" (the l <= 4 mode-sum flux interpolant, energy-balanced
         with the waveform's multipole content; `models.flux.FluxGrid`).
 
+      method: "dp5" (adaptive sequential stepper, the reference-shaped
+        path) or "quad" (parallel-in-time p-coordinate quadrature,
+        `models.trajectory_quad` — same Trajectory contract, phases agree
+        to <~1e-4 rad over full inspirals; sequential depth ~4x smaller
+        on TPU, all knots live).
+
     Returns:
       Trajectory with t in seconds; stops at min(T, separatrix reached).
     """
+    if method == "quad":
+        from .trajectory_quad import schwarz_ecc_flux_inspiral_quad
+
+        return schwarz_ecc_flux_inspiral_quad(
+            mass_1, mass_2, p0, e0, t_years=t_years, Phi_phi0=Phi_phi0,
+            Phi_r0=Phi_r0, max_steps=max_steps,
+            delta_p_stop=delta_p_stop, flux=flux,
+        )
     m = jnp.asarray(mass_1, jnp.float64)
     mu = jnp.asarray(mass_2, jnp.float64)
     nu = mu / m

@@ -82,6 +82,7 @@ def waveform_prologue(
     max_steps: int = 512,
     flux: str = "pm",
     tail: bool = False,
+    traj_method: str = "dp5",
 ) -> WaveformPrologue:
     """Trajectory + amplitudes + Ylm + mode selection (shared by TD/FD).
 
@@ -91,10 +92,12 @@ def waveform_prologue(
     ``tail``: apply the factorized relativistic tail factor T_lm to every
     amplitude (`models.tail`; pair with flux="multipole_tail" to keep the
     dissipation energy-balanced with the emitted waveform).
+    ``traj_method``: "dp5" (adaptive stepper) or "quad" (parallel-in-time
+    quadrature, `models.trajectory_quad` — see `schwarz_ecc_flux_inspiral`).
     """
     traj = schwarz_ecc_flux_inspiral(
         mass_1, mass_2, p0, e0, t_years=t_years, Phi_phi0=Phi_phi0, Phi_r0=Phi_r0,
-        max_steps=max_steps, flux=flux,
+        max_steps=max_steps, flux=flux, method=traj_method,
     )
     a_re, a_im = mode_amplitudes(traj.p, traj.e, table, tail=tail)  # (K, M)
 
@@ -538,9 +541,15 @@ class FastSchwarzschildEccentricFlux:
         l_max: int = 4,
         k_max: int = 64,
     ):
-        del inspiral_kwargs, Ylm_kwargs, use_gpu
+        del Ylm_kwargs, use_gpu
+        inspiral_kwargs = inspiral_kwargs or {}
         amplitude_kwargs = amplitude_kwargs or {}
         sum_kwargs = sum_kwargs or {}
+        # trajectory backend: "dp5" (adaptive stepper) or "quad"
+        # (parallel-in-time quadrature, models.trajectory_quad); mirrors the
+        # reference's inspiral_kwargs routing (reference emri_pe.py:55-70)
+        self.traj_method = inspiral_kwargs.get("method", "dp5")
+        self.traj_max_steps = int(inspiral_kwargs.get("max_steps", 512))
         # relativistic wave-tail amplitude correction (models.tail)
         self.tail = bool(amplitude_kwargs.get("tail", False))
         self.output_type = sum_kwargs.get("output_type", "td")
@@ -588,6 +597,7 @@ class FastSchwarzschildEccentricFlux:
             t_years=float(T), table=self.table,
             k_max=len(forced) if forced is not None else self.k_max,
             eps=eps, forced_idx=forced, flux=self.flux, tail=self.tail,
+            max_steps=self.traj_max_steps, traj_method=self.traj_method,
         )
         if self.output_type == "td":
             t_grid = jnp.asarray(default_time_grid(float(T), float(dt)))
@@ -698,6 +708,7 @@ class GenerateEMRIWaveform:
         waveform_class: str = "FastSchwarzschildEccentricFlux",
         sum_kwargs=None,
         amplitude_kwargs=None,
+        inspiral_kwargs=None,
         return_list: bool = False,
         use_gpu=None,
         frame: str = "detector",
@@ -709,6 +720,7 @@ class GenerateEMRIWaveform:
             raise NotImplementedError(waveform_class)
         self.waveform_generator = FastSchwarzschildEccentricFlux(
             sum_kwargs=sum_kwargs, amplitude_kwargs=amplitude_kwargs,
+            inspiral_kwargs=inspiral_kwargs,
             n_max=n_max, l_max=l_max, k_max=k_max
         )
         self.return_list = return_list
