@@ -77,6 +77,8 @@ def main():
             chain = np.asarray(fh["mcmc/chain_emri"])
             accepted = np.asarray(fh["mcmc/accepted"])
             it = int(fh["mcmc"].attrs["iteration"])
+            log_like = np.asarray(fh["mcmc/log_like"])
+            betas_hist = np.asarray(fh["mcmc/betas"])
         p0_truth = float(get_p_at_t(cli.M, cli.mu, cli.e0, 0.99 * cli.Tobs))
         truth = np.array(
             [np.log(cli.M), np.log(cli.mu / cli.M), p0_truth, cli.e0, 1.0, 2.0]
@@ -94,6 +96,8 @@ def main():
         snr = float(out["snr"])
         sampler = out["sampler"]
         acceptance = float(np.mean(sampler.acceptance_fraction))
+        log_like = np.asarray(sampler.backend.get_log_like())
+        betas_hist = np.asarray(sampler.backend.get_betas())
 
     nsteps = chain.shape[0]
     burn = nsteps // 4
@@ -192,6 +196,77 @@ def main():
     z = (mean_chain - truth) / np.maximum(sig_chain, 1e-300)
     ratio = sig_chain / np.maximum(sig_fisher, 1e-300)
 
+    # ---- posterior-predictive residual check ----
+    # Noiseless injection: logL(theta) = -1/2 <d-h, d-h>, so the cold chain's
+    # peak log-like measures the best template's residual SNR directly, and
+    # the posterior-mean template should reproduce the injection to an
+    # overlap deficit ~ ndim/(2 SNR^2).
+    from emri_frequencydomainwaveforms_tpu.lisa.diagnostic import inner_product
+
+    logl_cold = log_like[burn:, 0, :]
+    logl_max = float(np.nanmax(logl_cold))
+    logl_med = float(np.nanmedian(logl_cold))
+    h_inj = wf(truth)
+    h_mean = wf(mean_chain)
+    ip_kwargs = dict(f_arr=f_np, PSD=noise_fn)
+    dd = float(inner_product(h_inj, h_inj, **ip_kwargs))
+    hh = float(inner_product(h_mean, h_mean, **ip_kwargs))
+    dh = float(inner_product(h_inj, h_mean, **ip_kwargs))
+    overlap_mean = dh / np.sqrt(dd * hh)
+    resid_snr2_mean = dd + hh - 2.0 * dh
+    # Expected (Gaussian posterior in ndim=6): logl - logl_max ~ -chi2_6/2,
+    # median chi2_6 = 5.35, so median logl ~ logl_max - 2.67; residual
+    # SNR^2 of the mean template ~ O(ndim) << SNR^2.
+    post_pred = {
+        "logl_max_cold": logl_max,
+        "logl_median_cold": logl_med,
+        "expected_logl_median": logl_max - 2.67,
+        "overlap_mean_template_vs_injection": overlap_mean,
+        "residual_snr2_mean_template": resid_snr2_mean,
+        "snr2_injection": dd,
+    }
+
+    # ---- evidence (thermodynamic integration over the tempered ladder) ----
+    # With ntemps = 2 (betas {1, 0}) the trapezoid is dominated by the
+    # prior-average rung and is only an order-of-magnitude bound; >= 4 rungs
+    # make it quantitative. Cross-checked against the Laplace estimate
+    # logZ ~ logL_max + log pi(truth) + ndim/2 log 2pi + 1/2 log det Cov.
+    from emri_frequencydomainwaveforms_tpu.utils.autocorr import (
+        thermodynamic_integration_log_evidence,
+    )
+
+    betas_final = betas_hist[-1]
+    ll_post = log_like[burn:]
+    ll_masked = np.where(
+        np.isfinite(ll_post) & (ll_post > -1e290), ll_post, np.nan
+    )
+    mean_logls = np.nanmean(ll_masked, axis=(0, 2))
+    logz_ti, dlogz_ti = thermodynamic_integration_log_evidence(
+        betas_final, mean_logls
+    )
+    # uniform prior volume of the 6 sampled params (cli.emri_pe prior block)
+    p0_truth_v = truth[2]
+    ln_prior_vol = float(
+        np.log(np.log(1e7) - np.log(5e5))
+        + np.log(np.log(1e-4) - np.log(1e-6))
+        + np.log((p0_truth_v + 3.0) - max(p0_truth_v - 2.0, 7.0))
+        + np.log(0.7 - 0.001)
+        + 2.0 * np.log(2.0 * np.pi)
+    )
+    sign, ln_det_cov = np.linalg.slogdet(cov_fisher)
+    logz_laplace = (
+        logl_max - ln_prior_vol + 0.5 * len(truth) * np.log(2 * np.pi)
+        + 0.5 * ln_det_cov
+    )
+    evidence = {
+        "logz_ti": float(logz_ti),
+        "dlogz_ti": float(dlogz_ti),
+        "logz_laplace": float(logz_laplace),
+        "betas": [float(b) for b in betas_final],
+        "note": "TI with 2 rungs is a bound, not an estimate; rerun with "
+                "--ntemps 4+ for a quantitative ladder.",
+    }
+
     labels = ["lnM", "ln(mu/M)", "p0", "e0", "Phi_phi0", "Phi_r0"]
     report = {
         "config": {
@@ -214,6 +289,8 @@ def main():
             k: float(v) for k, v in zip(labels, ratio)
         },
         "truth_zscores": {k: float(v) for k, v in zip(labels, z)},
+        "posterior_predictive": post_pred,
+        "evidence": evidence,
     }
     print(json.dumps(report, indent=2))
 
@@ -247,6 +324,18 @@ def main():
             f"{ratio[i]:.2f} | {z[i]:+.2f} |"
         )
     lines += [
+        "",
+        "Posterior-predictive and evidence checks:",
+        "",
+        f"- cold-chain peak log-like {logl_max:+.2f} (noiseless injection:",
+        f"  0 minus kernel noise), median {logl_med:+.2f} vs the Gaussian-",
+        f"  posterior expectation {post_pred['expected_logl_median']:+.2f};",
+        f"- posterior-mean template: overlap {overlap_mean:.6f} with the",
+        f"  injection, residual SNR^2 {resid_snr2_mean:.1f} against",
+        f"  injection SNR^2 {dd:.0f} (expect O(ndim) << SNR^2);",
+        f"- evidence: TI logZ = {logz_ti:.1f} +- {dlogz_ti:.1f} over the",
+        f"  {len(betas_final)}-rung ladder (2 rungs = bound only; see",
+        f"  --ntemps), Laplace cross-check logZ = {logz_laplace:.1f}.",
         "",
         "Interpretation: ratio ~ 1 means the sampled marginals match the",
         "Cramer-Rao widths (the linear-signal regime expected at this SNR);",
