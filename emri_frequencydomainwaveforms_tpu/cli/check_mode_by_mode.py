@@ -39,8 +39,14 @@ def build_parser():
     p.add_argument("-negative_slots", "--negative_slots", type=int, default=0,
                    help="extra FD kernel slots for negative-frequency ranges")
     p.add_argument("-flux", "--flux", type=str, default="pm",
-                   choices=["pm", "multipole"],
+                   choices=["pm", "multipole", "multipole_tail",
+                            "multipole_factorized"],
                    help="trajectory dissipation model")
+    p.add_argument("-amp", "--amp", type=str, default="flat",
+                   choices=["flat", "tail", "factorized"],
+                   help="amplitude physics: flat-space multipoles, + wave-"
+                        "tail factor, + full factorized resummation "
+                        "(source/rho/delta; models.rho)")
     return p
 
 
@@ -65,15 +71,20 @@ def run_check(args) -> dict:
         }
     )
 
+    amp_kwargs = dict(
+        tail=args.amp in ("tail", "factorized"),
+        factorized=args.amp == "factorized",
+    )
     td_gen = GenerateEMRIWaveform(
-        sum_kwargs=dict(odd_len=True, flux=args.flux), return_list=True
+        sum_kwargs=dict(odd_len=True, flux=args.flux),
+        amplitude_kwargs=amp_kwargs, return_list=True
     )
     fd_gen = GenerateEMRIWaveform(
         sum_kwargs=dict(
             output_type="fd", odd_len=True, flux=args.flux,
             turnover_slots=args.turnover_slots,
             negative_slots=args.negative_slots,
-        ), return_list=True
+        ), amplitude_kwargs=amp_kwargs, return_list=True
     )
     noise = lambda f: np.asarray(
         get_sensitivity(np.asarray(f), sens_fn="cornish_lisa_psd")

@@ -337,6 +337,7 @@ def _orbit_harmonics(p, e, n_max: int, fam_subset: tuple[int, ...] | None = None
 def mode_amplitudes(
     p: jax.Array, e: jax.Array, table: ModeTable,
     *, tail: bool = False, tail_r0: float = 2.0,
+    factorized: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """A_lmn(p, e) for every mode in ``table`` -> (re, im), shape (..., n_modes).
 
@@ -350,6 +351,13 @@ def mode_amplitudes(
     amplification validated against the known 2 pi x^{3/2} PN amplitude
     term (the reference's Teukolsky amplitudes carry this content;
     notebook cell 2 `RomanAmplitude`).
+
+    ``factorized=True`` additionally applies the effective source and the
+    residual relativistic correction S_hat * rho_lm(x_mn)^l * e^{i delta}
+    (`models.rho`) — the remaining pieces of the factorized resummation.
+    Full amplitude fidelity = ``tail=True, factorized=True`` (together
+    they reproduce the published test-mass per-mode PN amplitude/flux
+    series through the anchored orders; tests/test_rho.py).
     """
     n_max = int(np.max(np.abs(table.ns))) if table.num_modes else 0
 
@@ -405,6 +413,14 @@ def mode_amplitudes(
 
         t_re, t_im = tail_factor(table.ls, omega_mn.astype(dt), r0=tail_r0)
         re, im = re * t_re - im * t_im, re * t_im + im * t_re
+    if factorized:
+        from .rho import factorized_correction
+
+        c_re2, c_im2 = factorized_correction(
+            table.ls, table.ms, jnp.asarray(p).astype(dt),
+            jnp.asarray(e).astype(dt), omega_mn.astype(dt),
+        )
+        re, im = re * c_re2 - im * c_im2, re * c_im2 + im * c_re2
     return re, im
 
 

@@ -56,7 +56,9 @@ def pn_flux_e_l(p: jax.Array, e: jax.Array) -> tuple[jax.Array, jax.Array]:
     return de, dl
 
 
-def flux_from_modes(p, e, table=None, *, tail: bool = False) -> tuple[jax.Array, jax.Array]:
+def flux_from_modes(
+    p, e, table=None, *, tail: bool = False, factorized: bool = False
+) -> tuple[jax.Array, jax.Array]:
     """(Edot, Ldot)/nu from the waveform's own multipole content (jittable).
 
     Energy balance with the l <= 4 mode amplitudes: each (l, m, n) harmonic
@@ -91,6 +93,17 @@ def flux_from_modes(p, e, table=None, *, tail: bool = False) -> tuple[jax.Array,
         from .tail import tail_modulus_sq
 
         power = power * tail_modulus_sq(table.ls, om)
+    if factorized:
+        # effective source + residual rho_lm resummation (models.rho);
+        # with tail=True the circular limit reproduces the test-mass PN
+        # flux through x^2 per mode (exact-rational sum rules in
+        # tests/test_rho.py: 1 - 1247/336 x + 4 pi x^{3/2} - 44711/9072 x^2)
+        from .rho import factorized_correction
+
+        s_rho, _ = factorized_correction(
+            table.ls, table.ms, p, e, om, include_delta=False
+        )
+        power = power * (s_rho * s_rho)
     inv8pi = 1.0 / (8.0 * jnp.pi)
     de = -inv8pi * jnp.sum(om * om * power, axis=-1)
     dl = -inv8pi * jnp.sum(m_f * om * power, axis=-1)
@@ -114,7 +127,7 @@ class FluxGrid(NamedTuple):
 
 def build_flux_grid(
     u_range=None, e_range=(1e-6, 0.78), n_u: int = 96, n_e: int = 49,
-    tail: bool = False,
+    tail: bool = False, factorized: bool = False,
 ) -> FluxGrid:
     """Tabulate `flux_from_modes` on the (u, e) grid (host-side, once)."""
     from .amplitude_backends import _U_SHIFT
@@ -125,7 +138,10 @@ def build_flux_grid(
     es = np.linspace(e_range[0], e_range[1], n_e)
     uu, ee = np.meshgrid(us, es, indexing="ij")
     pp = np.exp(uu) - _U_SHIFT + 6.0 + 2.0 * ee
-    de, dl = flux_from_modes(jnp.asarray(pp.ravel()), jnp.asarray(ee.ravel()), tail=tail)
+    de, dl = flux_from_modes(
+        jnp.asarray(pp.ravel()), jnp.asarray(ee.ravel()),
+        tail=tail, factorized=factorized,
+    )
     vals = jnp.stack(
         [de.reshape(n_u, n_e), dl.reshape(n_u, n_e)], axis=-1
     )
@@ -135,9 +151,9 @@ def build_flux_grid(
     )
 
 
-@lru_cache(maxsize=2)
-def default_flux_grid(tail: bool = False) -> FluxGrid:
-    return build_flux_grid(tail=tail)
+@lru_cache(maxsize=4)
+def default_flux_grid(tail: bool = False, factorized: bool = False) -> FluxGrid:
+    return build_flux_grid(tail=tail, factorized=factorized)
 
 
 def multipole_flux_e_l(p, e, grid: FluxGrid | None = None):

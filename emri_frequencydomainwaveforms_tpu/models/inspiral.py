@@ -108,10 +108,15 @@ def schwarz_ecc_flux_inspiral(
             jnp.asarray(Phi_r0, jnp.float64),
         ]
     )
-    if flux in ("multipole", "multipole_tail"):
+    if flux in ("multipole", "multipole_tail", "multipole_factorized"):
         from .flux import default_flux_grid, multipole_flux_e_l
 
-        grid = default_flux_grid(tail=(flux == "multipole_tail"))
+        # "multipole_factorized" = tail + source/rho resummation (the full
+        # factorized per-mode flux; models.rho)
+        grid = default_flux_grid(
+            tail=(flux != "multipole"),
+            factorized=(flux == "multipole_factorized"),
+        )
         flux_fn = lambda p_, e_: multipole_flux_e_l(p_, e_, grid)
     else:
         flux_fn = None

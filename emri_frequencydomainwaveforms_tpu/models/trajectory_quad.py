@@ -175,10 +175,13 @@ def schwarz_ecc_flux_inspiral_quad(
     e0 = jnp.asarray(e0, jnp.float64)
     t_max_geo = jnp.asarray(t_years, jnp.float64) * YRSID_SI / (m * MTSUN_SI)
 
-    if flux in ("multipole", "multipole_tail"):
+    if flux in ("multipole", "multipole_tail", "multipole_factorized"):
         from .flux import default_flux_grid, multipole_flux_e_l
 
-        grid = default_flux_grid(tail=(flux == "multipole_tail"))
+        grid = default_flux_grid(
+            tail=(flux != "multipole"),
+            factorized=(flux == "multipole_factorized"),
+        )
         flux_fn = lambda p_, e_: multipole_flux_e_l(p_, e_, grid)
     else:
         flux_fn = pn_flux_e_l

@@ -82,16 +82,21 @@ def waveform_prologue(
     max_steps: int = 512,
     flux: str = "pm",
     tail: bool = False,
+    factorized: bool = False,
     traj_method: str = "dp5",
 ) -> WaveformPrologue:
     """Trajectory + amplitudes + Ylm + mode selection (shared by TD/FD).
 
     ``flux``: trajectory dissipation model — "pm" (Peters-Mathews),
-    "multipole" (l <= 4 mode-sum flux grid; see `models.flux`) or
-    "multipole_tail" (same, with the |T_lm|^2 wave-tail enhancement).
+    "multipole" (l <= 4 mode-sum flux grid; see `models.flux`),
+    "multipole_tail" (same, with the |T_lm|^2 wave-tail enhancement) or
+    "multipole_factorized" (tail + effective source + rho_lm resummation).
     ``tail``: apply the factorized relativistic tail factor T_lm to every
     amplitude (`models.tail`; pair with flux="multipole_tail" to keep the
     dissipation energy-balanced with the emitted waveform).
+    ``factorized``: apply the effective source and rho_lm/delta_lm residual
+    resummation to every amplitude (`models.rho`; full amplitude fidelity =
+    tail + factorized, paired with flux="multipole_factorized").
     ``traj_method``: "dp5" (adaptive stepper) or "quad" (parallel-in-time
     quadrature, `models.trajectory_quad` — see `schwarz_ecc_flux_inspiral`).
     """
@@ -99,7 +104,9 @@ def waveform_prologue(
         mass_1, mass_2, p0, e0, t_years=t_years, Phi_phi0=Phi_phi0, Phi_r0=Phi_r0,
         max_steps=max_steps, flux=flux, method=traj_method,
     )
-    a_re, a_im = mode_amplitudes(traj.p, traj.e, table, tail=tail)  # (K, M)
+    a_re, a_im = mode_amplitudes(
+        traj.p, traj.e, table, tail=tail, factorized=factorized
+    )  # (K, M)
 
     yp_re, yp_im = spin_weighted_ylm(table.ls, table.ms, theta, phi)
     ym_re, ym_im = spin_weighted_ylm(table.ls, -table.ms, theta, phi)
@@ -552,6 +559,9 @@ class FastSchwarzschildEccentricFlux:
         self.traj_max_steps = int(inspiral_kwargs.get("max_steps", 512))
         # relativistic wave-tail amplitude correction (models.tail)
         self.tail = bool(amplitude_kwargs.get("tail", False))
+        # effective source + rho_lm/delta_lm factorized resummation
+        # (models.rho); full fidelity = {"tail": True, "factorized": True}
+        self.factorized = bool(amplitude_kwargs.get("factorized", False))
         self.output_type = sum_kwargs.get("output_type", "td")
         self.odd_len = sum_kwargs.get("odd_len", True)
         self.pad_output = sum_kwargs.get("pad_output", False)
@@ -597,6 +607,7 @@ class FastSchwarzschildEccentricFlux:
             t_years=float(T), table=self.table,
             k_max=len(forced) if forced is not None else self.k_max,
             eps=eps, forced_idx=forced, flux=self.flux, tail=self.tail,
+            factorized=self.factorized,
             max_steps=self.traj_max_steps, traj_method=self.traj_method,
         )
         if self.output_type == "td":
