@@ -130,6 +130,8 @@ def main():
     timed(make_gen_unroll(4), "no TO, scan_unroll=4")
     timed(make_gen_unroll(16), "no TO, scan_unroll=16")
 
+
+
     # Pallas-batched path (DMA-owned window accumulation, no scan carries;
     # main increasing-branch slots only — lacks turnover content)
     from emri_frequencydomainwaveforms_tpu.models.summation_fd import (
@@ -161,7 +163,80 @@ def main():
             band_runs=256, band_offsets=offs_p,
         )
 
-    timed(gen_pallas, "pallas batched (256r)")
+    if jax.devices()[0].platform != "cpu":
+        timed(gen_pallas, "pallas batched (256r)")
+    else:
+        print("pallas batched (256r)        skipped (CPU backend)")
+
+    # ---- staged ablation of the banded kernel (main slots, 256r) ----
+    # splits the fixed block into: node math (level-1 tables incl. the
+    # one-hot matmul), dense flops (phase Hermite + sincos + weights, no
+    # accumulation), and accumulator traffic (the full RMW pipeline is the
+    # "no turnover (256r)" row above minus the dense row).
+    import math as _math
+
+    import jax.numpy as _jnp
+    from emri_frequencydomainwaveforms_tpu.models import summation_fd as _sfd
+
+    BAND_RUNS = 256
+    offs_l1 = jnp.asarray(band_offsets_for(pro0, table, f0u, dfu, BINS_PER_RUN, BAND_RUNS))
+    run_df = BINS_PER_RUN * dfu
+
+    def level1_tables(inp):
+        cphi_all = (
+            inp.m_sel[:, None, None] * inp.c_phi_phi[None]
+            + inp.n_sel[:, None, None] * inp.c_phi_r[None]
+        )
+        f_knots_all = (
+            inp.m_sel[:, None] * inp.f_phi_knots[None, :]
+            + inp.n_sel[:, None] * inp.f_r_knots[None, :]
+        )
+        k_max = cphi_all.shape[0]
+        return _sfd._level1_uniform_tables(
+            cphi_all, inp.ar_c, inp.ai_c, f_knots_all, offs_l1,
+            inp.inc_lo, inp.inc_hi, _jnp.ones((k_max,), _jnp.int32),
+            inp.t_knots, f0u, dfu, BINS_PER_RUN, BAND_RUNS + 1, run_df,
+        )
+
+    def gen_level1(p0, e0, th, ph):
+        inp = prep_one(p0, e0, th, ph)
+        pc, ec, fs, fe = level1_tables(inp)
+        return _jnp.sum(pc) + _jnp.sum(ec) + _jnp.sum(fs) + _jnp.sum(fe)
+
+    timed(lambda a, b, c, d: jax.vmap(gen_level1)(a, b, c, d),
+          "prep + level1 tables")
+
+    def gen_dense_noacc(p0, e0, th, ph):
+        inp = prep_one(p0, e0, th, ph)
+        pc, ec, fs, fe = level1_tables(inp)
+        f32 = _jnp.float32
+        r = BINS_PER_RUN
+        xi = ((_jnp.arange(r, dtype=f32)) * f32(1.0 / r))[None, :]
+
+        def body(acc, mode):
+            pc_i, ec_i, f_start, f_end, w1r, w1i, live_i = mode
+            p0_, p1_, p2_, p3_ = (pc_i[:, i:i + 1] for i in range(4))
+            psi = p0_ + xi * (p1_ + xi * (p2_ + xi * p3_))
+            c, s = _jnp.cos(psi), _jnp.sin(psi)
+            er = ec_i[:, 0:1] + xi * (ec_i[:, 1:2] + xi * (ec_i[:, 2:3] + xi * ec_i[:, 3:4]))
+            ei = ec_i[:, 4:5] + xi * (ec_i[:, 5:6] + xi * (ec_i[:, 6:7] + xi * ec_i[:, 7:8]))
+            cre = er * c - ei * s
+            cim = er * s + ei * c
+            f_node0 = f0u  # band mask skipped: flop-isolating ablation
+            keep = (cre == cre) & (live_i > 0)
+            cre = _jnp.where(keep, cre, 0.0)
+            cim = _jnp.where(keep, cim, 0.0)
+            v = cre * w1r.astype(f32) - cim * w1i.astype(f32)
+            return acc + _jnp.sum(v) + _jnp.sum(cre * w1i.astype(f32)), None
+
+        acc, _ = jax.lax.scan(
+            body, _jnp.zeros((), f32),
+            (pc, ec, fs, fe, inp.w1_re, inp.w1_im, inp.inc_live),
+        )
+        return acc
+
+    timed(lambda a, b, c, d: jax.vmap(gen_dense_noacc)(a, b, c, d),
+          "prep + level1 + dense flops")
 
 
 if __name__ == "__main__":
