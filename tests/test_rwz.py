@@ -107,3 +107,37 @@ def test_odd_higher_modes_newtonian_norm(l, m, kpi):
     C, _ = odd_circular_amplitude(l, m, 240.0)
     K = model_flux_circular(l, m, 240.0) / abs(C) ** 2
     assert abs(K * np.pi - kpi) / kpi < 5e-3
+
+
+def test_zerilli_isospectral_wronskian():
+    """The derived Darboux-partner (Zerilli) potential is isospectral to
+    RW: identical Wronskians at the same omega."""
+    from rwz.solver import homogeneous_zerilli
+
+    homz = homogeneous_zerilli(2)
+    homr = homogeneous_rw(2)
+    for om in (0.05, 0.2):
+        *_, Wz, ez = homz.wronskian_and_fields(om, [8.0, 20.0])
+        *_, Wr, er = homr.wronskian_and_fields(om, [8.0, 20.0])
+        assert ez < 1e-10 and er < 1e-10
+        assert abs(Wz - Wr) / abs(Wr) < 1e-9
+
+
+@pytest.mark.parametrize(
+    "l,m,tol",
+    [(2, 2, 3e-6), (3, 3, 3e-6), (3, 1, 3e-6), (4, 4, 3e-4), (4, 2, 3e-4)],
+)
+def test_even_modes_match_factorized_model(l, m, tol):
+    """Even parity: F = (l+2)!/(l-2)!/(8 pi) |omega C/2|^2 matches the
+    factorized model at r0 = 240. (2,2)/(3,3)/(3,1) rho series are deep
+    (x^2+) -> 1e-6 agreement; (4,4)/(4,2) are 1PN-anchored -> the solver
+    carries the true x^2 content, agreement ~2e-4 at this radius."""
+    from math import factorial, pi as mpi
+
+    from rwz.circular import even_circular_amplitude
+
+    r0 = 240.0
+    N = factorial(l + 2) / factorial(l - 2) / (8 * mpi)
+    C, om = even_circular_amplitude(l, m, r0)
+    R = model_flux_circular(l, m, r0) / (N * abs(om * C / 2) ** 2)
+    assert abs(R - 1.0) < tol

@@ -25,7 +25,13 @@ import functools
 import numpy as np
 import sympy as sp
 
-from .solver import Homogeneous, homogeneous_rw, rstar, v_rw
+from .solver import (
+    Homogeneous,
+    homogeneous_rw,
+    homogeneous_zerilli,
+    rstar,
+    v_rw,
+)
 
 _TH, _PH = sp.symbols("theta phi")
 
@@ -156,6 +162,138 @@ def odd_circular_amplitude(l: int, m: int, r0: float):
 def odd_circular_flux_raw(l: int, m: int, r0: float):
     """omega^2 |C|^2 — the flux up to the Newtonian-pinned constant."""
     C, omega = odd_circular_amplitude(l, m, r0)
+    return omega**2 * abs(C) ** 2
+
+
+# ---------------------------------------------------------------------------
+# even parity
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def even_angular(l: int, m: int):
+    """Even-parity harmonic data: equator values and projection norms.
+
+    Basis (matches tools/rwz/derive_even.py): scalar Y; vector dY_A;
+    tensor Z_AB = grad_A grad_B Y + (L/2) sigma_AB Y (traceless).
+    """
+    th, ph = _TH, _PH
+    Y = sp.Ynm(l, m, th, ph).expand(func=True)
+    lam_full = l * (l + 1)
+    gam = {
+        (th, ph, ph): -sp.sin(th) * sp.cos(th),
+        (ph, th, ph): sp.cos(th) / sp.sin(th),
+        (ph, ph, th): sp.cos(th) / sp.sin(th),
+    }
+    sig = {(th, th): sp.Integer(1), (ph, ph): sp.sin(th) ** 2, (th, ph): 0}
+
+    def hess(a, b):
+        expr = sp.diff(Y, a, b)
+        for c in (th, ph):
+            gg = gam.get((c, a, b), gam.get((c, b, a), 0))
+            if gg != 0:
+                expr -= gg * sp.diff(Y, c)
+        return expr
+
+    Z = {}
+    for a in (th, ph):
+        for b in (th, ph):
+            s_ab = sig.get((a, b), sig.get((b, a), 0))
+            Z[(a, b)] = sp.simplify(hess(a, b) + lam_full * s_ab * Y / 2)
+
+    def sphere_integral(expr):
+        expr = sp.simplify(sp.expand(expr, func=True))
+        return complex(
+            sp.integrate(
+                sp.integrate(expr * sp.sin(th), (th, 0, sp.pi)),
+                (ph, 0, 2 * sp.pi),
+            )
+        )
+
+    s2 = sp.sin(th) ** 2
+    N_Z = sphere_integral(
+        Z[(th, th)] * sp.conjugate(Z[(th, th)])
+        + 2 * Z[(th, ph)] * sp.conjugate(Z[(th, ph)]) / s2
+        + Z[(ph, ph)] * sp.conjugate(Z[(ph, ph)]) / s2**2
+    )
+    eq = {th: sp.pi / 2, ph: 0}
+    return {
+        "Y_eq": complex(Y.subs(eq)),
+        "dphY_eq": complex(sp.diff(Y, ph).subs(eq)),
+        "Z_phph_eq": complex(Z[(ph, ph)].subs(eq)),
+        "N_Z": N_Z.real,
+    }
+
+
+@functools.lru_cache(maxsize=None)
+def _even_master_fns(l: int):
+    """Lambdified S_even coefficient functions c(r) and c'(r) per source
+    key, from the generated even-parity artifact (M = 1)."""
+    from . import generated_even as gen
+
+    lam_val = sp.Rational((l - 1) * (l + 2), 2)
+    rsym, wsym, lsym = sp.Symbol("r"), sp.Symbol("omega"), sp.Symbol("lam")
+    out = {}
+    for key, srep in gen.S_EVEN.items():
+        c = sp.sympify(srep).subs(lsym, lam_val)
+        cf = sp.cancel(sp.together(c / (1 - 2 / rsym)))  # include 1/f of dr*
+        out[key] = (
+            sp.lambdify((rsym, wsym), cf, "numpy"),
+            sp.lambdify((rsym, wsym), sp.diff(cf, rsym), "numpy"),
+        )
+    return out
+
+
+def even_circular_amplitude(l: int, m: int, r0: float):
+    """C_inf for the even-parity (l + m even) Zerilli master function
+    psi = [r^2 K + (r - 2M) H1/(i omega)] / (lam r + 3M)   (DERIVED),
+    circular orbit at r0 (M = 1, mu = 1)."""
+    if (l + m) % 2 != 0:
+        raise ValueError("even parity requires l + m even")
+    if m == 0:
+        raise ValueError("static (m = 0) modes carry no flux")
+    Om, ut, E, Lz = circular_geodesic(r0)
+    omega = m * Om
+    ang = even_angular(l, m)
+    lam_full = l * (l + 1)
+
+    # lowered-index stress coefficients (u_t = -E, u_phi = Lz)
+    pref = 1.0 / (ut * r0**2)
+    c_tt = pref * E * E
+    c_tv = pref * (-E) * Lz
+    c_ff = pref * Lz * Lz
+
+    q = {
+        "Qtt": c_tt * np.conj(ang["Y_eq"]),
+        "Qtv": c_tv * np.conj(ang["dphY_eq"]) / lam_full,
+        "Qu": 0.5 * c_ff * np.conj(ang["Y_eq"]),
+        "Qz": c_ff * np.conj(ang["Z_phph_eq"]) / ang["N_Z"],
+    }
+
+    hom = homogeneous_zerilli(l)
+    X_in, dX_in_rs, *_ , W, Werr = hom.wronskian_and_fields(omega, [r0])
+    if Werr > 1e-8:
+        raise RuntimeError(f"Wronskian drift {Werr}")
+    f0 = 1.0 - 2.0 / r0
+    Xi = complex(X_in[0])
+    dXi = complex(dX_in_rs[0]) / f0  # d/dr
+
+    fns = _even_master_fns(l)
+    total = 0.0 + 0.0j
+    for (name, order), (cf, dcf) in fns.items():
+        if name not in q or q[name] == 0:
+            continue
+        if order == 0:
+            total += q[name] * Xi * cf(r0, omega)
+        elif order == 1:
+            total += -q[name] * (dXi * cf(r0, omega) + Xi * dcf(r0, omega))
+        else:
+            raise RuntimeError("unexpected source derivative order")
+    return total / W, omega
+
+
+def even_circular_flux_raw(l: int, m: int, r0: float):
+    C, omega = even_circular_amplitude(l, m, r0)
     return omega**2 * abs(C) ** 2
 
 
