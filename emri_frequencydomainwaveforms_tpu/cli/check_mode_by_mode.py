@@ -40,13 +40,14 @@ def build_parser():
                    help="extra FD kernel slots for negative-frequency ranges")
     p.add_argument("-flux", "--flux", type=str, default="pm",
                    choices=["pm", "multipole", "multipole_tail",
-                            "multipole_factorized"],
+                            "multipole_factorized", "multipole_rwz"],
                    help="trajectory dissipation model")
     p.add_argument("-amp", "--amp", type=str, default="flat",
-                   choices=["flat", "tail", "factorized"],
+                   choices=["flat", "tail", "factorized", "rwz"],
                    help="amplitude physics: flat-space multipoles, + wave-"
                         "tail factor, + full factorized resummation "
-                        "(source/rho/delta; models.rho)")
+                        "(source/rho/delta; models.rho), + RWZ strong-"
+                        "field calibration (models.rwz_calibration)")
     return p
 
 
@@ -72,8 +73,9 @@ def run_check(args) -> dict:
     )
 
     amp_kwargs = dict(
-        tail=args.amp in ("tail", "factorized"),
-        factorized=args.amp == "factorized",
+        tail=args.amp in ("tail", "factorized", "rwz"),
+        factorized=args.amp in ("factorized", "rwz"),
+        rwz=args.amp == "rwz",
     )
     td_gen = GenerateEMRIWaveform(
         sum_kwargs=dict(odd_len=True, flux=args.flux),

@@ -73,6 +73,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--plot", action="store_true",
                    help="write a corner plot of the cold chain "
                         "(reference emri_pe.py:577-582)")
+    p.add_argument("-flux", "--flux", type=str, default="pm",
+                   choices=["pm", "multipole", "multipole_tail",
+                            "multipole_factorized", "multipole_rwz"],
+                   help="trajectory dissipation model (models.flux)")
+    p.add_argument("-amp", "--amp", type=str, default="flat",
+                   choices=["flat", "tail", "factorized", "rwz"],
+                   help="amplitude physics ladder: flat-space multipoles, "
+                        "+ wave-tail factor, + factorized resummation, "
+                        "+ RWZ strong-field calibration")
     return p
 
 
@@ -119,11 +128,18 @@ def run_emri_pe(args) -> dict:
     # mode power across the posterior bulk)
     kmax = getattr(args, "kmax", 48)
     max_steps = getattr(args, "max_steps", 512)
+    amp = getattr(args, "amp", "flat")
+    phys_kwargs = dict(
+        flux=getattr(args, "flux", "pm"),
+        tail=amp in ("tail", "factorized", "rwz"),
+        factorized=amp in ("factorized", "rwz"),
+        rwz=amp == "rwz",
+    )
     if getattr(args, "freeze_selection", 1):
         pro_inj = waveform_prologue(
             args.M, args.mu, p0, args.e0, np.pi / 4, np.pi / 3, 1.0, 1.0, 2.0,
             t_years=t_years, table=table, k_max=kmax, eps=args.eps,
-            max_steps=max_steps,
+            max_steps=max_steps, **phys_kwargs,
         )
         forced = np.asarray(pro_inj.sel.idx)
         table_t = table.take(forced)
@@ -155,6 +171,7 @@ def run_emri_pe(args) -> dict:
                 m, mu, p0_, e0_, qs, fs, dist_, pph0, pr0,
                 t_years=t_years, table=table_t, k_max=kmax,
                 eps=eps, max_steps=max_steps, forced_idx=idx_t,
+                **phys_kwargs,
             )
             hpr, hpi, hcr, hci = fd_waveform_core(
                 pro, table_t, f_arr, channels=True, uniform=uniform
@@ -182,6 +199,7 @@ def run_emri_pe(args) -> dict:
                 m, mu, p0_, e0_, qs, fs, dist_, pph0, pr0,
                 t_years=t_years, table=table_t, k_max=kmax,
                 eps=eps, max_steps=max_steps, forced_idx=idx_t,
+                **phys_kwargs,
             )
             hp, hc = td_waveform_core(pro, table_t, t_grid)
             out = []
@@ -207,7 +225,12 @@ def run_emri_pe(args) -> dict:
         # TD injection FFT'd onto the downsampled grid (window optional)
         from ..models.waveform import GenerateEMRIWaveform
 
-        td_gen = GenerateEMRIWaveform(sum_kwargs=dict(odd_len=True), return_list=True)
+        td_gen = GenerateEMRIWaveform(
+            sum_kwargs=dict(odd_len=True, flux=phys_kwargs["flux"]),
+            amplitude_kwargs={k: phys_kwargs[k]
+                              for k in ("tail", "factorized", "rwz")},
+            return_list=True,
+        )
         htd = td_gen(*inj14, T=t_years, dt=dt, eps=eps)
         window = np.hanning(len(htd[0])) if args.window_flag else np.ones(len(htd[0]))
         fd_full = get_fft_td_windowed(htd, window, dt)

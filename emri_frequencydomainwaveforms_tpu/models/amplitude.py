@@ -337,7 +337,7 @@ def _orbit_harmonics(p, e, n_max: int, fam_subset: tuple[int, ...] | None = None
 def mode_amplitudes(
     p: jax.Array, e: jax.Array, table: ModeTable,
     *, tail: bool = False, tail_r0: float = 2.0,
-    factorized: bool = False,
+    factorized: bool = False, rwz: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """A_lmn(p, e) for every mode in ``table`` -> (re, im), shape (..., n_modes).
 
@@ -421,6 +421,27 @@ def mode_amplitudes(
             jnp.asarray(e).astype(dt), omega_mn.astype(dt),
         )
         re, im = re * c_re2 - im * c_im2, re * c_im2 + im * c_re2
+    if rwz:
+        # strong-field modulus calibration from the in-repo RWZ solver
+        # (models.rwz_calibration); calibrated against tail+factorized,
+        # so it only composes meaningfully on top of them
+        if not (tail and factorized):
+            raise ValueError("rwz=True requires tail=True, factorized=True")
+        from .amplitude_backends import u_of_pe
+        from .rho import _x_of_mode
+        from .rwz_calibration import rwz_correction, rwz_ecc_residual
+
+        x_mn = _x_of_mode(omega_mn.astype(dt), table.ms)
+        b = rwz_correction(table.ls, table.ms, x_mn)
+        # genuinely eccentric strong-field residual beyond the
+        # circular-equivalent prescription (eccentric-source RWZ solver)
+        b = b * rwz_ecc_residual(
+            table.ls, table.ms, table.ns,
+            u_of_pe(jnp.asarray(p).astype(dt), jnp.asarray(e).astype(dt)),
+            jnp.asarray(e).astype(dt),
+        )
+        re = re * b
+        im = im * b
     return re, im
 
 

@@ -57,7 +57,8 @@ def pn_flux_e_l(p: jax.Array, e: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 
 def flux_from_modes(
-    p, e, table=None, *, tail: bool = False, factorized: bool = False
+    p, e, table=None, *, tail: bool = False, factorized: bool = False,
+    rwz: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """(Edot, Ldot)/nu from the waveform's own multipole content (jittable).
 
@@ -104,6 +105,22 @@ def flux_from_modes(
             table.ls, table.ms, p, e, om, include_delta=False
         )
         power = power * (s_rho * s_rho)
+    if rwz:
+        # strong-field calibration from the in-repo RWZ solver: per-mode
+        # circular-limit fluxes become exact and the eccentric residual
+        # table corrects the sidebands (models.rwz_calibration), keeping
+        # dissipation energy-balanced with the rwz-corrected amplitudes
+        if not (tail and factorized):
+            raise ValueError("rwz=True requires tail=True, factorized=True")
+        from .amplitude_backends import u_of_pe
+        from .rho import _x_of_mode
+        from .rwz_calibration import rwz_correction, rwz_ecc_residual
+
+        b = rwz_correction(table.ls, table.ms, _x_of_mode(om, table.ms))
+        b = b * rwz_ecc_residual(
+            table.ls, table.ms, table.ns, u_of_pe(p, e), e
+        )
+        power = power * (b * b)
     inv8pi = 1.0 / (8.0 * jnp.pi)
     de = -inv8pi * jnp.sum(om * om * power, axis=-1)
     dl = -inv8pi * jnp.sum(m_f * om * power, axis=-1)
@@ -122,12 +139,12 @@ class FluxGrid(NamedTuple):
     du: float
     e0: float
     de: float
-    values: jax.Array  # (nu, ne, 2): Edot, Ldot
+    values: jax.Array  # (nu, ne, 2): Edot, Ldot (held as numpy host-side)
 
 
 def build_flux_grid(
     u_range=None, e_range=(1e-6, 0.78), n_u: int = 96, n_e: int = 49,
-    tail: bool = False, factorized: bool = False,
+    tail: bool = False, factorized: bool = False, rwz: bool = False,
 ) -> FluxGrid:
     """Tabulate `flux_from_modes` on the (u, e) grid (host-side, once)."""
     from .amplitude_backends import _U_SHIFT
@@ -138,22 +155,32 @@ def build_flux_grid(
     es = np.linspace(e_range[0], e_range[1], n_e)
     uu, ee = np.meshgrid(us, es, indexing="ij")
     pp = np.exp(uu) - _U_SHIFT + 6.0 + 2.0 * ee
-    de, dl = flux_from_modes(
-        jnp.asarray(pp.ravel()), jnp.asarray(ee.ravel()),
-        tail=tail, factorized=factorized,
-    )
-    vals = jnp.stack(
-        [de.reshape(n_u, n_e), dl.reshape(n_u, n_e)], axis=-1
-    )
+    # the first build can be triggered from inside a jit trace (the grid
+    # is lru-cached lazily); force compile-time evaluation so the cached
+    # table holds concrete arrays, never tracers of a dead trace
+    with jax.ensure_compile_time_eval():
+        de, dl = flux_from_modes(
+            jnp.asarray(pp.ravel()), jnp.asarray(ee.ravel()),
+            tail=tail, factorized=factorized, rwz=rwz,
+        )
+        vals = jnp.stack(
+            [de.reshape(n_u, n_e), dl.reshape(n_u, n_e)], axis=-1
+        )
+    # cache PURE NUMPY: a jnp constant created while an outer trace is
+    # active would be (or wrap) a tracer of that trace and poison the
+    # lru cache; numpy constants are staged per-trace like any closure
+    vals = np.asarray(vals)
     return FluxGrid(
         u0=float(us[0]), du=float(us[1] - us[0]),
         e0=float(es[0]), de=float(es[1] - es[0]), values=vals,
     )
 
 
-@lru_cache(maxsize=4)
-def default_flux_grid(tail: bool = False, factorized: bool = False) -> FluxGrid:
-    return build_flux_grid(tail=tail, factorized=factorized)
+@lru_cache(maxsize=8)
+def default_flux_grid(
+    tail: bool = False, factorized: bool = False, rwz: bool = False
+) -> FluxGrid:
+    return build_flux_grid(tail=tail, factorized=factorized, rwz=rwz)
 
 
 def multipole_flux_e_l(p, e, grid: FluxGrid | None = None):
@@ -164,7 +191,13 @@ def multipole_flux_e_l(p, e, grid: FluxGrid | None = None):
     if grid is None:
         grid = default_flux_grid()
     u = u_of_pe(p, e)
-    out = interp2d_bicubic(grid.u0, grid.du, grid.e0, grid.de, grid.values, u, e)
+    out = interp2d_bicubic(
+        grid.u0, grid.du, grid.e0, grid.de,
+        # stage the numpy-cached table into the active trace as a fresh
+        # constant (grid.values stays numpy in the lru cache; see
+        # build_flux_grid)
+        jnp.asarray(grid.values), u, e,
+    )
     return out[..., 0], out[..., 1]
 
 

@@ -108,14 +108,17 @@ def schwarz_ecc_flux_inspiral(
             jnp.asarray(Phi_r0, jnp.float64),
         ]
     )
-    if flux in ("multipole", "multipole_tail", "multipole_factorized"):
+    if flux in ("multipole", "multipole_tail", "multipole_factorized",
+                "multipole_rwz"):
         from .flux import default_flux_grid, multipole_flux_e_l
 
         # "multipole_factorized" = tail + source/rho resummation (the full
-        # factorized per-mode flux; models.rho)
+        # factorized per-mode flux; models.rho); "multipole_rwz" adds the
+        # RWZ strong-field calibration (models.rwz_calibration)
         grid = default_flux_grid(
             tail=(flux != "multipole"),
-            factorized=(flux == "multipole_factorized"),
+            factorized=(flux in ("multipole_factorized", "multipole_rwz")),
+            rwz=(flux == "multipole_rwz"),
         )
         flux_fn = lambda p_, e_: multipole_flux_e_l(p_, e_, grid)
     else:

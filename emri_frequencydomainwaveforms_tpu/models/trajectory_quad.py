@@ -175,12 +175,14 @@ def schwarz_ecc_flux_inspiral_quad(
     e0 = jnp.asarray(e0, jnp.float64)
     t_max_geo = jnp.asarray(t_years, jnp.float64) * YRSID_SI / (m * MTSUN_SI)
 
-    if flux in ("multipole", "multipole_tail", "multipole_factorized"):
+    if flux in ("multipole", "multipole_tail", "multipole_factorized",
+                "multipole_rwz"):
         from .flux import default_flux_grid, multipole_flux_e_l
 
         grid = default_flux_grid(
             tail=(flux != "multipole"),
-            factorized=(flux == "multipole_factorized"),
+            factorized=(flux in ("multipole_factorized", "multipole_rwz")),
+            rwz=(flux == "multipole_rwz"),
         )
         flux_fn = lambda p_, e_: multipole_flux_e_l(p_, e_, grid)
     else:

@@ -83,20 +83,28 @@ def waveform_prologue(
     flux: str = "pm",
     tail: bool = False,
     factorized: bool = False,
+    rwz: bool = False,
     traj_method: str = "dp5",
 ) -> WaveformPrologue:
     """Trajectory + amplitudes + Ylm + mode selection (shared by TD/FD).
 
     ``flux``: trajectory dissipation model — "pm" (Peters-Mathews),
     "multipole" (l <= 4 mode-sum flux grid; see `models.flux`),
-    "multipole_tail" (same, with the |T_lm|^2 wave-tail enhancement) or
-    "multipole_factorized" (tail + effective source + rho_lm resummation).
+    "multipole_tail" (same, with the |T_lm|^2 wave-tail enhancement),
+    "multipole_factorized" (tail + effective source + rho_lm resummation)
+    or "multipole_rwz" (additionally the RWZ strong-field calibration —
+    exact circular-limit per-mode fluxes from the in-repo solver).
     ``tail``: apply the factorized relativistic tail factor T_lm to every
     amplitude (`models.tail`; pair with flux="multipole_tail" to keep the
     dissipation energy-balanced with the emitted waveform).
     ``factorized``: apply the effective source and rho_lm/delta_lm residual
-    resummation to every amplitude (`models.rho`; full amplitude fidelity =
-    tail + factorized, paired with flux="multipole_factorized").
+    resummation to every amplitude (`models.rho`; pair with
+    flux="multipole_factorized").
+    ``rwz``: additionally apply the strong-field modulus calibration from
+    the in-repo first-principles RWZ solver (`models.rwz_calibration`) —
+    circular-limit amplitude moduli become exact at every PN order; full
+    amplitude fidelity = tail + factorized + rwz, paired with
+    flux="multipole_rwz".
     ``traj_method``: "dp5" (adaptive stepper) or "quad" (parallel-in-time
     quadrature, `models.trajectory_quad` — see `schwarz_ecc_flux_inspiral`).
     """
@@ -105,7 +113,7 @@ def waveform_prologue(
         max_steps=max_steps, flux=flux, method=traj_method,
     )
     a_re, a_im = mode_amplitudes(
-        traj.p, traj.e, table, tail=tail, factorized=factorized
+        traj.p, traj.e, table, tail=tail, factorized=factorized, rwz=rwz
     )  # (K, M)
 
     yp_re, yp_im = spin_weighted_ylm(table.ls, table.ms, theta, phi)
@@ -560,8 +568,11 @@ class FastSchwarzschildEccentricFlux:
         # relativistic wave-tail amplitude correction (models.tail)
         self.tail = bool(amplitude_kwargs.get("tail", False))
         # effective source + rho_lm/delta_lm factorized resummation
-        # (models.rho); full fidelity = {"tail": True, "factorized": True}
+        # (models.rho) and RWZ strong-field calibration
+        # (models.rwz_calibration); full fidelity =
+        # {"tail": True, "factorized": True, "rwz": True}
         self.factorized = bool(amplitude_kwargs.get("factorized", False))
+        self.rwz = bool(amplitude_kwargs.get("rwz", False))
         self.output_type = sum_kwargs.get("output_type", "td")
         self.odd_len = sum_kwargs.get("odd_len", True)
         self.pad_output = sum_kwargs.get("pad_output", False)
@@ -607,7 +618,7 @@ class FastSchwarzschildEccentricFlux:
             t_years=float(T), table=self.table,
             k_max=len(forced) if forced is not None else self.k_max,
             eps=eps, forced_idx=forced, flux=self.flux, tail=self.tail,
-            factorized=self.factorized,
+            factorized=self.factorized, rwz=self.rwz,
             max_steps=self.traj_max_steps, traj_method=self.traj_method,
         )
         if self.output_type == "td":

@@ -1,0 +1,164 @@
+"""RWZ strong-field calibration layer (models/rwz_calibration.py).
+
+The table itself is generated and cross-validated by tools/rwz (see
+tests/test_rwz.py for the solver-vs-PN-series gates); here we test the
+production wiring: interpolation exactness, knob contracts, facade and
+flux-grid integration.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from emri_frequencydomainwaveforms_tpu.models._rwz_calibration_data import (
+    B_TABLE,
+    N_X,
+    X_HI,
+    X_LO,
+)
+from emri_frequencydomainwaveforms_tpu.models.amplitude import (
+    default_mode_table,
+    mode_amplitudes,
+)
+from emri_frequencydomainwaveforms_tpu.models.rwz_calibration import (
+    rwz_correction,
+)
+
+
+def test_interpolant_exact_at_nodes():
+    xs = np.exp(np.linspace(np.log(X_LO), np.log(X_HI), N_X))
+    ls = np.array([2, 4, 6])
+    ms = np.array([2, 4, 5])
+    x = jnp.asarray(np.broadcast_to(xs[:, None], (N_X, 3)))
+    b = np.asarray(rwz_correction(ls, ms, x))
+    for j, (l, m) in enumerate(zip(ls, ms)):
+        np.testing.assert_allclose(b[:, j], B_TABLE[(l, m)], rtol=1e-12)
+
+
+def test_small_x_limit_near_one():
+    # anchored modes are exact at small x; l = 5, 6 rows carry a genuine
+    # O(x) correction the factorized model lacks entirely
+    ls = np.array([2, 3, 4])
+    ms = np.array([2, 3, 4])
+    b = np.asarray(rwz_correction(ls, ms, jnp.full((3,), X_LO)))
+    assert np.all(np.abs(b - 1.0) < 1e-3)
+
+
+def test_uncalibrated_modes_identity():
+    b = np.asarray(
+        rwz_correction(np.array([2, 9]), np.array([0, 9]), jnp.full((2,), 0.05))
+    )
+    np.testing.assert_allclose(b, 1.0)
+
+
+def test_clamps_outside_grid():
+    ls, ms = np.array([4]), np.array([4])
+    lo = float(rwz_correction(ls, ms, jnp.asarray([X_LO / 10]))[0])
+    hi = float(rwz_correction(ls, ms, jnp.asarray([X_HI * 2]))[0])
+    assert abs(lo - B_TABLE[(4, 4)][0]) < 1e-10
+    assert abs(hi - B_TABLE[(4, 4)][-1]) < 1e-10
+
+
+def test_mode_amplitudes_knob_contract():
+    table = default_mode_table(2)
+    p = jnp.asarray(10.0)
+    e = jnp.asarray(0.2)
+    with pytest.raises(ValueError):
+        mode_amplitudes(p, e, table, rwz=True)
+    ar0, ai0 = mode_amplitudes(p, e, table, tail=True, factorized=True)
+    ar1, ai1 = mode_amplitudes(p, e, table, tail=True, factorized=True, rwz=True)
+    ar0, ar1 = np.asarray(ar0), np.asarray(ar1)
+    live = np.abs(ar0) > 1e-30
+    ratio = np.where(live, ar1 / np.where(live, ar0, 1.0), 1.0)
+    # bounded multiplicative correction, not a rescale of everything
+    assert np.all(ratio > 0.2) and np.all(ratio < 1.2)
+    assert np.any(np.abs(ratio - 1.0) > 1e-4)
+
+
+def test_flux_grid_rwz_builds_and_shifts():
+    from emri_frequencydomainwaveforms_tpu.models.flux import flux_from_modes
+
+    p = jnp.asarray([10.0])
+    e = jnp.asarray([0.25])
+    de0, _ = flux_from_modes(p, e, tail=True, factorized=True)
+    de1, _ = flux_from_modes(p, e, tail=True, factorized=True, rwz=True)
+    rel = float(abs(de1[0] / de0[0] - 1.0))
+    assert 1e-5 < rel < 0.05
+
+
+def test_flux_grid_first_built_inside_jit_is_reusable():
+    """Regression: the lru-cached flux grid must hold concrete (numpy)
+    tables even when its FIRST build is triggered from inside a jit
+    trace — a trace-bound constant in the cache poisons every later
+    trace with UnexpectedTracerError (found via emri_pe -flux
+    multipole_rwz, whose first prologue runs under the jitted
+    trajectory)."""
+    import jax
+    import jax.numpy as jnp
+
+    from emri_frequencydomainwaveforms_tpu.models.flux import (
+        build_flux_grid,
+        default_flux_grid,
+    )
+
+    default_flux_grid.cache_clear()
+    try:
+
+        @jax.jit
+        def first(x):
+            g = default_flux_grid(tail=False)
+            return x + jnp.asarray(g.values).sum()
+
+        @jax.jit
+        def second(x):
+            g = default_flux_grid(tail=False)
+            return x * jnp.asarray(g.values).sum()
+
+        a = float(first(jnp.asarray(1.0)))
+        b = float(second(jnp.asarray(1.0)))
+        assert np.isfinite(a) and np.isfinite(b)
+        cached = default_flux_grid(tail=False)
+        assert isinstance(cached.values, np.ndarray)
+    finally:
+        default_flux_grid.cache_clear()
+
+
+def test_rwz_ecc_residual_identity_without_table():
+    from emri_frequencydomainwaveforms_tpu.models import rwz_calibration as rc
+
+    ls = np.array([2, 3])
+    ms = np.array([2, 2])
+    ns = np.array([0, 1])
+    r = np.asarray(
+        rc.rwz_ecc_residual(ls, ms, ns, jnp.asarray(1.2), jnp.asarray(0.3))
+    )
+    assert r.shape == (2,)
+    if rc._ecc is None:
+        np.testing.assert_allclose(r, 1.0)
+    else:
+        # calibrated rows are bounded multiplicative corrections
+        assert np.all(r > 0.5) and np.all(r < 1.5)
+
+
+def test_facade_rwz_waveform_runs():
+    from emri_frequencydomainwaveforms_tpu.models.waveform import (
+        GenerateEMRIWaveform,
+    )
+
+    gen = GenerateEMRIWaveform(
+        sum_kwargs={"output_type": "fd", "flux": "multipole_rwz"},
+        amplitude_kwargs={"tail": True, "factorized": True, "rwz": True},
+    )
+    gen0 = GenerateEMRIWaveform(
+        sum_kwargs={"output_type": "fd", "flux": "multipole_factorized"},
+        amplitude_kwargs={"tail": True, "factorized": True},
+    )
+    args = (1e6, 10.0, 0.0, 11.0, 0.3, 1.0, 1.0, 0.6, 0.4, 0.7, 0.3, 0.0, 0.0, 0.0)
+    kw = dict(T=0.02, dt=10.0, eps=1e-2)
+    h1 = np.asarray(gen(*args, **kw))
+    h0 = np.asarray(gen0(*args, **kw))
+    assert np.all(np.isfinite(h1))
+    num = np.linalg.norm(h1 - h0)
+    den = np.linalg.norm(h0)
+    assert 1e-7 < num / den < 0.2
