@@ -21,6 +21,7 @@ Production-shaped methodology (round-2 honesty fixes):
 """
 
 import json
+import os
 import sys
 import time
 
@@ -28,6 +29,16 @@ import numpy as np
 
 T_YEARS, DT = 1.0, 10.0
 EPS = 1e-2
+# BENCH_PHYS=rwz scores the FULL physics rung (flux="multipole_rwz",
+# tail+factorized+rwz amplitudes — the Teukolsky-equivalent calibrated
+# stack) instead of the flat default; the per-mode corrections are
+# O(K x M) prologue work, so the cost delta is the honest price of the
+# relativistic content. Gates run identically either way.
+PHYS = os.environ.get("BENCH_PHYS", "flat")
+PHYS_KW = (
+    dict(flux="multipole_rwz", tail=True, factorized=True, rwz=True)
+    if PHYS == "rwz" else {}
+)
 # eps=1e-2 keeps ~14-15 modes across the posterior-wide batch; 16 slots
 # (live set + margin) cut the masked dense work 8x vs the 64-slot round-1
 # configuration (which evaluated 32768 windowed runs for ~1500 live ones);
@@ -88,7 +99,7 @@ def main() -> None:
     pro_sel = waveform_prologue(
         1e6, 10.0, 12.0, 0.35, 0.7, 0.5, 1.0, 0.0, 0.0,
         t_years=T_YEARS, table=table, k_max=K_MAX, eps=EPS,
-        max_steps=MAX_STEPS,
+        max_steps=MAX_STEPS, **PHYS_KW,
     )
     forced_idx = np.asarray(pro_sel.sel.idx)
     # production fast path: the table is SLICED to the frozen selection so
@@ -102,7 +113,7 @@ def main() -> None:
         return waveform_prologue(
             1e6, 10.0, p0, e0, th, ph, 1.0, 0.0, 0.0,
             t_years=T_YEARS, table=table_k, k_max=K_MAX, eps=EPS,
-            max_steps=MAX_STEPS, forced_idx=idx_k,
+            max_steps=MAX_STEPS, forced_idx=idx_k, **PHYS_KW,
         )
 
     # shared band windows from the same representative source
@@ -140,7 +151,7 @@ def main() -> None:
         jax.vmap(lambda p0, e0: waveform_prologue(
             1e6, 10.0, p0, e0, 0.7, 0.5, 1.0, 0.0, 0.0,
             t_years=T_YEARS, table=table, k_max=8, eps=0.5,
-            max_steps=MAX_STEPS,
+            max_steps=MAX_STEPS, **PHYS_KW,
         ).n_live)
     )(p0s, e0s)
     checks["max_knots"] = int(jnp.max(n_live))
@@ -158,9 +169,13 @@ def main() -> None:
     @jax.vmap
     def coverage(p0, e0, th, ph):
         traj = schwarz_ecc_flux_inspiral(
-            1e6, 10.0, p0, e0, t_years=T_YEARS, max_steps=MAX_STEPS
+            1e6, 10.0, p0, e0, t_years=T_YEARS, max_steps=MAX_STEPS,
+            flux=PHYS_KW.get("flux", "pm"),
         )
-        a_re, a_im = mode_amplitudes(traj.p, traj.e, table)
+        a_re, a_im = mode_amplitudes(
+            traj.p, traj.e, table,
+            **{k: v for k, v in PHYS_KW.items() if k != "flux"},
+        )
         yp = spin_weighted_ylm(table.ls, table.ms, th, ph)
         ym = spin_weighted_ylm(table.ls, -table.ms, th, ph)
         live = (jnp.arange(traj.t.shape[0]) < traj.n).astype(traj.t.dtype)
@@ -204,7 +219,7 @@ def main() -> None:
         lambda: waveform_prologue(
             1e6, 50.0, 7.6, 0.3, 0.7, 0.5, 1.0, 0.0, 0.0,
             t_years=T_YEARS, table=table, k_max=K_MAX, eps=EPS,
-            max_steps=MAX_STEPS,
+            max_steps=MAX_STEPS, **PHYS_KW,
         )
     )()
     sub_pl = np.arange(0, nf, 1043)
@@ -282,6 +297,7 @@ def main() -> None:
                 "value": round(wf_per_sec, 3),
                 "unit": "waveforms/s",
                 "vs_baseline": round(wf_per_sec / NORTH_STAR, 5),
+                "physics": PHYS,
                 "checks": checks,
             }
         )

@@ -445,6 +445,20 @@ def mode_amplitudes(
     return re, im
 
 
+def full_fidelity_amplitudes(
+    p: jax.Array, e: jax.Array, table: ModeTable
+) -> tuple[jax.Array, jax.Array]:
+    """`mode_amplitudes` at the repo's highest physics rung (tail +
+    factorized resummation + RWZ strong-field calibration incl. the
+    eccentric residual).  Drop-in ``source=`` for the data-driven
+    backends (`amplitude_backends.build_amplitude_grid` /
+    `fit_roman_network`), so the shipped Interp2D / ROMAN tables carry
+    the solver-calibrated relativistic content — the counterpart of the
+    reference's Teukolsky-data-backed Interp2DAmplitude/RomanAmplitude
+    (reference FD notebook cell 2)."""
+    return mode_amplitudes(p, e, table, tail=True, factorized=True, rwz=True)
+
+
 class NewtonianAmplitude:
     """OO facade pinning the reference amplitude-module call contract.
 

@@ -6,10 +6,13 @@ same interface as `models.amplitude.mode_amplitudes`:
 * `Interp2DAmplitude` — bicubic interpolation over a regular grid in the
   separatrix-adapted coordinates ``(u, e)`` with ``u = log(p - 6 - 2e + 0.5)``
   (reference ``few.amplitude.interp2dcubicspline.Interp2DAmplitude``, a C++
-  bicubic over Teukolsky data; notebook cell 2). The shipped grid builder
-  tabulates this framework's quadrupole amplitudes; drop in any externally
-  computed (e.g. Teukolsky) table of the same layout to upgrade the physics
-  without touching the waveform pipeline.
+  bicubic over Teukolsky data; notebook cell 2). Pass
+  ``source=models.amplitude.full_fidelity_amplitudes`` to
+  `build_amplitude_grid` to tabulate the repo's highest physics rung
+  (tail + factorized + RWZ strong-field calibration — the
+  solver-computed equivalent of the reference's Teukolsky table);
+  externally computed tables of the same layout also drop in without
+  touching the waveform pipeline.
 * `RomanAmplitude` — a small MLP ``(u, e) -> A_lmn`` (reference
   ``few.amplitude.romannet.RomanAmplitude``, a CUDA reduced-order network).
   Here the matmuls land on the MXU; `fit_roman_network` trains the weights

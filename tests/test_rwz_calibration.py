@@ -141,6 +141,34 @@ def test_rwz_ecc_residual_identity_without_table():
         assert np.all(r > 0.5) and np.all(r < 1.5)
 
 
+def test_interp2d_grid_carries_full_fidelity_source():
+    """An Interp2D grid built from `full_fidelity_amplitudes` must
+    reproduce the calibrated amplitudes to interpolation accuracy — the
+    drop-in-table path that mirrors the reference's Teukolsky-backed
+    Interp2DAmplitude."""
+    from emri_frequencydomainwaveforms_tpu.models.amplitude import (
+        full_fidelity_amplitudes,
+    )
+    from emri_frequencydomainwaveforms_tpu.models.amplitude_backends import (
+        build_amplitude_grid,
+        mode_amplitudes_interp2d,
+    )
+
+    table = default_mode_table(4, l_max=2)
+    grid = build_amplitude_grid(
+        table, n_u=48, n_e=17, e_range=(1e-6, 0.6),
+        source=full_fidelity_amplitudes,
+    )
+    p = jnp.asarray([8.5, 11.0])
+    e = jnp.asarray([0.25, 0.4])
+    gr, gi = mode_amplitudes_interp2d(p, e, grid)
+    dr, di = full_fidelity_amplitudes(p, e, table)
+    mag = np.abs(np.asarray(dr)) + np.abs(np.asarray(di))
+    scale = np.maximum(mag, mag.max() * 1e-3)
+    err = (np.abs(np.asarray(gr - dr)) + np.abs(np.asarray(gi - di))) / scale
+    assert float(err.max()) < 5e-3
+
+
 def test_facade_rwz_waveform_runs():
     from emri_frequencydomainwaveforms_tpu.models.waveform import (
         GenerateEMRIWaveform,
