@@ -434,14 +434,15 @@ def mode_amplitudes(
         x_mn = _x_of_mode(omega_mn.astype(dt), table.ms)
         b = rwz_correction(table.ls, table.ms, x_mn)
         # genuinely eccentric strong-field residual beyond the
-        # circular-equivalent prescription (eccentric-source RWZ solver)
-        b = b * rwz_ecc_residual(
+        # circular-equivalent prescription (eccentric-source RWZ solver):
+        # complex — |R| corrects the modulus, arg R the per-mode phase
+        r_re, r_im = rwz_ecc_residual(
             table.ls, table.ms, table.ns,
             u_of_pe(jnp.asarray(p).astype(dt), jnp.asarray(e).astype(dt)),
             jnp.asarray(e).astype(dt),
         )
-        re = re * b
-        im = im * b
+        c_re, c_im = b * r_re, b * r_im
+        re, im = re * c_re - im * c_im, re * c_im + im * c_re
     return re, im
 
 

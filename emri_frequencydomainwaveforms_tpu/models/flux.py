@@ -117,10 +117,11 @@ def flux_from_modes(
         from .rwz_calibration import rwz_correction, rwz_ecc_residual
 
         b = rwz_correction(table.ls, table.ms, _x_of_mode(om, table.ms))
-        b = b * rwz_ecc_residual(
+        r_re, r_im = rwz_ecc_residual(
             table.ls, table.ms, table.ns, u_of_pe(p, e), e
         )
-        power = power * (b * b)
+        # flux carries |B R|^2 (the phase residual cancels in the power)
+        power = power * (b * b) * (r_re * r_re + r_im * r_im)
     inv8pi = 1.0 / (8.0 * jnp.pi)
     de = -inv8pi * jnp.sum(om * om * power, axis=-1)
     dl = -inv8pi * jnp.sum(m_f * om * power, axis=-1)

@@ -130,15 +130,20 @@ def test_rwz_ecc_residual_identity_without_table():
     ls = np.array([2, 3])
     ms = np.array([2, 2])
     ns = np.array([0, 1])
-    r = np.asarray(
+    r_re, r_im = (
+        np.asarray(a) for a in
         rc.rwz_ecc_residual(ls, ms, ns, jnp.asarray(1.2), jnp.asarray(0.3))
     )
-    assert r.shape == (2,)
+    assert r_re.shape == (2,) and r_im.shape == (2,)
     if rc._ecc is None:
-        np.testing.assert_allclose(r, 1.0)
+        np.testing.assert_allclose(r_re, 1.0)
+        np.testing.assert_allclose(r_im, 0.0)
     else:
-        # calibrated rows are bounded multiplicative corrections
-        assert np.all(r > 0.5) and np.all(r < 1.5)
+        # calibrated rows are bounded multiplicative corrections with a
+        # bounded phase
+        mag = np.hypot(r_re, r_im)
+        assert np.all(mag > 0.5) and np.all(mag < 1.5)
+        assert np.all(np.abs(np.arctan2(r_im, r_re)) < 0.5)
 
 
 def test_interp2d_grid_carries_full_fidelity_source():

@@ -3,18 +3,23 @@
 For every production amplitude mode (l, m, n) (l <= --lmax, n in
 [N_LO, N_HI]) computes, on the package's regular (u, e) orbit grid
 (u = log(p - p_sep + _U_SHIFT), the amplitude/flux-grid convention), the
-residual modulus ratio
+COMPLEX residual ratio
 
-    R_lmn(u, e) = sqrt( F_RWZ_lmn / F_model_lmn ),
+    R_lmn(u, e) = A_RWZ_lmn / (A_model_lmn B_lm(x_mn)),
 
-where F_RWZ is the first-principles eccentric RWZ per-mode flux
-(tools/rwz/eccentric.py) and F_model is the package's per-mode flux with
-tail + factorized + circular B_lm(x_mn) applied (the eccentric residual
-itself is deliberately EXCLUDED from the baseline, so re-running this
-generator is a fixed point, not a feedback loop).  R is the genuinely
-eccentric strong-field content the circular-equivalent x_mn
-prescription misses; it multiplies the per-mode amplitudes on top of
-B_lm(x_mn) (models/rwz_calibration.py).
+where A_RWZ is the first-principles eccentric RWZ amplitude
+(tools/rwz/eccentric.py) mapped to the package's amplitude units via the
+flux normalization (even parity: sqrt(8 pi N_l) C / 2; odd:
+sqrt(8 pi N_l) C / omega; N_l = (l+2)!/((l-2)! 8 pi)) and A_model is the
+package's per-mode amplitude with tail + factorized applied (the
+eccentric residual itself is deliberately EXCLUDED from the baseline, so
+re-running this generator is a fixed point, not a feedback loop).  The
+phase conventions agree IDENTICALLY at Newtonian order (measured
+arg(R) -> 0 as p -> inf with no per-family constant), so arg(R) is the
+genuine strong-field per-mode phase residual (~0.1 rad near the
+separatrix) and |R| the modulus residual; both are content the
+circular-equivalent x_mn prescription misses.  R multiplies the complex
+per-mode amplitudes on top of B_lm(x_mn) (models/rwz_calibration.py).
 
 Modes with |omega_mn| < OMEGA_MIN at a grid node keep R = 1 there (their
 flux contribution carries the omega^2 suppression anyway); modes the
@@ -75,7 +80,7 @@ def main(argv=None):
         rwz_correction,
     )
 
-    from .eccentric import darwin_orbit, eccentric_flux_mode
+    from .eccentric import darwin_orbit, eccentric_amplitude
 
     if args.families:
         fams = [tuple(int(v) for v in tok.split(","))
@@ -98,7 +103,9 @@ def main(argv=None):
             if len(hit):
                 mode_idx[(l, m, n)] = int(hit[0])
 
-    rows = {k: np.ones((args.nu, args.ne)) for k in mode_idx}
+    from math import factorial as _fac
+
+    rows = {k: np.ones((args.nu, args.ne), dtype=complex) for k in mode_idx}
     t_start = time.time()
     for i, u in enumerate(us):
         for j, e in enumerate(es):
@@ -117,23 +124,31 @@ def main(argv=None):
             ))
             ar = np.asarray(ar) * b_circ
             ai = np.asarray(ai) * b_circ
+            a_floor = 1e-8 * float(np.max(np.hypot(ar, ai)))
             done = 0
             for (l, m, n), k in mode_idx.items():
                 om = m * orb["Om_phi"] + n * orb["Om_r"]
-                if abs(om) < OMEGA_MIN:
-                    continue
-                f_model = (1.0 / (8.0 * np.pi)) * om * om * (
-                    ar[k] ** 2 + ai[k] ** 2
-                )
-                if f_model <= 0.0 or not np.isfinite(f_model):
+                a_model = complex(ar[k], ai[k])
+                if abs(om) < OMEGA_MIN or abs(a_model) < a_floor:
                     continue
                 try:
-                    f_rwz, _ = eccentric_flux_mode(l, m, n, p, e, _orbit=orb)
+                    c_rwz, _ = eccentric_amplitude(l, m, n, p, e, _orbit=orb)
                 except RuntimeError as exc:  # Wronskian drift etc.
                     print(f"  skip ({l},{m},{n}) @ ({p:.3f},{e:.2f}): {exc}",
                           flush=True)
                     continue
-                rows[(l, m, n)][i, j] = np.sqrt(f_rwz / f_model)
+                norm = np.sqrt(8.0 * np.pi * _fac(l + 2) / _fac(l - 2)
+                               / (8.0 * np.pi))
+                if (l + m) % 2 == 0:
+                    a_rwz = norm * c_rwz / 2.0
+                else:
+                    a_rwz = norm * c_rwz / om
+                r = a_rwz / a_model
+                if not np.isfinite(r) or not 0.2 < abs(r) < 5.0:
+                    # degenerate ratio (near-null model mode / tiny omega):
+                    # leave R = 1 rather than poison the table
+                    continue
+                rows[(l, m, n)][i, j] = r
                 done += 1
             print(
                 f"node ({i},{j}) p={p:7.3f} e={e:.2f}: {done} modes, "
@@ -145,9 +160,10 @@ def main(argv=None):
         "",
         "Eccentric strong-field residual calibration R_lmn(u, e) from the",
         "first-principles eccentric RWZ solver (tools/rwz/eccentric.py):",
-        "per-mode flux ratio sqrt(exact / production-model) on the regular",
-        "(u, e) orbit grid (u = log(p - p_sep + U_SHIFT)).  Multiplies the",
-        "per-mode amplitudes on top of the circular B_lm(x_mn) table.",
+        "COMPLEX per-mode amplitude ratio exact / (model x B_lm) on the",
+        "regular (u, e) orbit grid (u = log(p - p_sep + U_SHIFT)).",
+        "Multiplies the complex per-mode amplitudes on top of the circular",
+        "B_lm(x_mn) table (|R|: modulus residual, arg R: phase residual).",
         '"""',
         "",
         "import numpy as np",
@@ -162,7 +178,9 @@ def main(argv=None):
         "R_TABLE = {",
     ]
     for key in sorted(rows):
-        flat = ", ".join(f"{v:.10g}" for v in rows[key].ravel())
+        flat = ", ".join(
+            f"{v.real:.10g}{v.imag:+.10g}j" for v in rows[key].ravel()
+        )
         lines.append(
             f"    {key}: np.array([{flat}]).reshape({args.nu}, {args.ne}),"
         )
