@@ -65,6 +65,14 @@ def _mismatch(a, b):
 def main() -> None:
     import emri_frequencydomainwaveforms_tpu  # noqa: F401  (x64 config)
     import jax
+
+    # persistent compile cache: the bench builds ~8 XLA programs over the
+    # remote-compile tunnel (~15 min cold); warm reruns replay in ~2 min
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from emri_frequencydomainwaveforms_tpu.models.amplitude import default_mode_table
     from emri_frequencydomainwaveforms_tpu.models.waveform import (

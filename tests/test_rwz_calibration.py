@@ -68,11 +68,17 @@ def test_mode_amplitudes_knob_contract():
         mode_amplitudes(p, e, table, rwz=True)
     ar0, ai0 = mode_amplitudes(p, e, table, tail=True, factorized=True)
     ar1, ai1 = mode_amplitudes(p, e, table, tail=True, factorized=True, rwz=True)
-    ar0, ar1 = np.asarray(ar0), np.asarray(ar1)
-    live = np.abs(ar0) > 1e-30
-    ratio = np.where(live, ar1 / np.where(live, ar0, 1.0), 1.0)
-    # bounded multiplicative correction, not a rescale of everything
-    assert np.all(ratio > 0.2) and np.all(ratio < 1.2)
+    a0 = np.asarray(ar0) + 1j * np.asarray(ai0)
+    a1 = np.asarray(ar1) + 1j * np.asarray(ai1)
+    live = np.abs(a0) > 1e-30
+    ratio = np.where(live, a1 / np.where(live, a0, 1.0), 1.0)
+    # bounded multiplicative correction (the calibration generator clamps
+    # accepted residuals to (0.2, 5)); weak m=1 / high-n families carry
+    # genuine ~2-4x strong-field moduli, dominant modes only a smooth
+    # phase rotation — so the POWER-weighted rescale stays near 1
+    assert np.all(np.abs(ratio) > 0.15) and np.all(np.abs(ratio) < 5.5)
+    power = np.sum(np.abs(a1) ** 2) / np.sum(np.abs(a0) ** 2)
+    assert 0.8 < power < 1.25
     assert np.any(np.abs(ratio - 1.0) > 1e-4)
 
 

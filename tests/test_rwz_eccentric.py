@@ -138,3 +138,36 @@ def test_quadrature_convergence_strong_field():
         F, _ = eccentric_flux_mode(2, 2, 3, p, e, n_chi)
         vals.append(F)
     assert abs(vals[1] / vals[0] - 1.0) < 1e-7
+
+
+def test_clean_table_rejects_glitches_keeps_physics():
+    """The calibration post-pass (tools/rwz/calibrate_ecc.clean_table)
+    must kill isolated solver glitches (modulus spikes, pi phase flips)
+    and shrink noise-dominated fields toward identity, while a genuine
+    smooth ~2x residual field survives nearly untouched."""
+    from tools.rwz.calibrate_ecc import clean_table
+
+    rng = np.random.default_rng(3)
+    nu, ne = 10, 6
+    uu = np.linspace(0.0, 1.0, nu)[:, None]
+    ee = np.linspace(0.0, 1.0, ne)[None, :]
+
+    # genuine smooth 2x field with a small smooth phase
+    smooth = (1.5 + 0.8 * uu + 0.4 * ee) * np.exp(-0.1j * (1 - uu))
+    glitchy = smooth.copy()
+    glitchy[3, 2] *= 2.5                      # modulus spike
+    glitchy[7, 4] *= np.exp(1j * np.pi)       # phase flip
+    # noise-dominated ~1 field (dominant-mode case)
+    noisy = np.exp(rng.normal(0.0, 0.08, (nu, ne))
+                   + 1j * rng.normal(0.0, 0.01, (nu, ne)))
+
+    out = clean_table({"a": glitchy, "b": noisy})
+    a, b = out["a"], out["b"]
+    # glitches gone: everything within 25% of the local smooth field
+    assert np.all(np.abs(np.log(np.abs(a / smooth)))
+                  < np.log(1.25)), np.abs(a / smooth)
+    assert np.all(np.abs(np.angle(a / smooth)) < 0.2)
+    # genuine trend preserved (field still spans ~1.5 .. 2.7)
+    assert np.abs(a).max() > 2.2 and np.abs(a).min() < 1.8
+    # noise-dominated modulus shrunk to ~identity
+    assert np.all(np.abs(np.abs(b) - 1.0) < 0.05)

@@ -47,6 +47,138 @@ import numpy as np
 OMEGA_MIN = 2e-3
 N_LO, N_HI = -2, 12
 
+# robust-cleaning tolerances: a node is an outlier when its modulus
+# deviates from the local (3x3 calibrated-neighbor) median by more than
+# MAG_TOL x, or its phase from the circular neighbor mean by PH_TOL rad.
+# Genuine residual fields measured on the raw table vary < ~15% per grid
+# step; solver glitches (Wronskian drift / quadrature resonances at
+# isolated nodes) show 1.5-5x modulus spikes and ~pi phase flips.
+MAG_TOL = 1.35
+PH_TOL = 0.35
+
+
+def _calibrated_neighbors(logmag, ph, calib, i, j):
+    nu, ne = calib.shape
+    out = []
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            if di == 0 and dj == 0:
+                continue
+            a, b = i + di, j + dj
+            if 0 <= a < nu and 0 <= b < ne and calib[a, b]:
+                out.append((logmag[a, b], ph[a, b]))
+    return out
+
+
+def clean_table(rows):
+    """Robust post-pass on the raw residual grids.
+
+    The eccentric solver occasionally glitches at isolated grid nodes
+    (Wronskian drift, quadrature resonance): a 1.5-5x modulus spike or a
+    ~pi phase flip sitting inside an otherwise smooth field. Those are
+    numerical, not physics, and they poison the bilinear interpolation
+    (and the 'bounded correction' contract) around the node. Three
+    stages, all deterministic:
+
+      1-2. outlier rejection (two sweeps, batch-detected then batch-
+           replaced): any calibrated node deviating from its calibrated
+           3x3 neighborhood median modulus by > MAG_TOL x or from the
+           circular-mean phase by > PH_TOL rad is replaced by that
+           neighborhood reference; isolated calibrated nodes (< 2
+           calibrated neighbors) revert to R = 1.
+      3.   smooth fill: uncalibrated nodes (R = 1 holes from the
+           omega/amplitude floors) adjacent to >= 2 calibrated nodes are
+           filled with the neighborhood reference, iterated to fixed
+           point. The model amplitude at such nodes is negligible (that
+           is WHY they were skipped), so the fill only removes bilinear
+           cliffs — it cannot change any retained mode's physics.
+      4.   Wiener shrinkage toward the circular-equivalent baseline,
+           per mode and per component: split each field (log-modulus;
+           phase) into a 3x3-median smooth part S and node-noise part N
+           and keep alpha * S with alpha = var(S) / (var(S) + var(N)).
+           Dominant modes, whose true eccentric residual modulus is ~1
+           within the solver's node noise, shrink to ~identity (their
+           smooth phase fields survive — that content has var(S) >>
+           var(N)); genuinely miscalibrated weak families (e.g. m = 1,
+           high n, |R| ~ 2-4 smooth fields) keep alpha ~ 1.
+    """
+    out = {}
+    for key, r0 in rows.items():
+        r = np.array(r0, dtype=complex)
+        nu, ne = r.shape
+        calib = np.abs(r - 1.0) > 1e-12
+        for _ in range(2):
+            logmag = np.log(np.abs(r))
+            ph = np.angle(r)
+            repl = {}
+            for i in range(nu):
+                for j in range(ne):
+                    if not calib[i, j]:
+                        continue
+                    vals = _calibrated_neighbors(logmag, ph, calib, i, j)
+                    if len(vals) < 2:
+                        repl[(i, j)] = None
+                        continue
+                    lm = float(np.median([v[0] for v in vals]))
+                    lp = float(np.angle(np.mean(
+                        [np.exp(1j * v[1]) for v in vals])))
+                    dph = float(np.angle(np.exp(1j * (ph[i, j] - lp))))
+                    if (abs(logmag[i, j] - lm) > np.log(MAG_TOL)
+                            or abs(dph) > PH_TOL):
+                        repl[(i, j)] = np.exp(lm + 1j * lp)
+            for (i, j), v in repl.items():
+                if v is None:
+                    r[i, j] = 1.0
+                    calib[i, j] = False
+                else:
+                    r[i, j] = v
+        for _ in range(nu + ne):
+            logmag = np.log(np.abs(r))
+            ph = np.angle(r)
+            fills = {}
+            for i in range(nu):
+                for j in range(ne):
+                    if calib[i, j]:
+                        continue
+                    vals = _calibrated_neighbors(logmag, ph, calib, i, j)
+                    if len(vals) >= 2:
+                        lm = float(np.median([v[0] for v in vals]))
+                        lp = float(np.angle(np.mean(
+                            [np.exp(1j * v[1]) for v in vals])))
+                        fills[(i, j)] = np.exp(lm + 1j * lp)
+            if not fills:
+                break
+            for (i, j), v in fills.items():
+                r[i, j] = v
+                calib[i, j] = True
+        if calib.any():
+            r = _wiener_shrink(r)
+        out[key] = r
+    return out
+
+
+def _medfilt3(field):
+    nu, ne = field.shape
+    out = np.empty_like(field)
+    for i in range(nu):
+        for j in range(ne):
+            lo_i, hi_i = max(i - 1, 0), min(i + 2, nu)
+            lo_j, hi_j = max(j - 1, 0), min(j + 2, ne)
+            out[i, j] = np.median(field[lo_i:hi_i, lo_j:hi_j])
+    return out
+
+
+def _wiener_shrink(r):
+    """Stage 4 of clean_table (see its docstring)."""
+    parts = []
+    for field in (np.log(np.abs(r)), np.angle(r)):
+        smooth = _medfilt3(field)
+        var_s = float(np.mean(smooth**2))
+        var_n = float(np.mean((field - smooth) ** 2))
+        alpha = var_s / (var_s + var_n) if var_s + var_n > 0 else 0.0
+        parts.append(alpha * smooth)
+    return np.exp(parts[0] + 1j * parts[1])
+
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
@@ -60,7 +192,14 @@ def main(argv=None):
                     help='subset, e.g. "2,2 3,3" (default: all m 0..l)')
     ap.add_argument("--out", type=str, default=(
         "emri_frequencydomainwaveforms_tpu/models/_rwz_ecc_data.py"))
+    ap.add_argument("--clean-existing", type=str, default=None,
+                    help="skip the solve: re-clean and rewrite an "
+                         "existing generated table in place")
     args = ap.parse_args(argv)
+
+    if args.clean_existing:
+        clean_existing(args.clean_existing)
+        return
 
     import jax
 
@@ -155,25 +294,33 @@ def main(argv=None):
                 f"{time.time() - t_start:7.0f}s elapsed", flush=True,
             )
 
+    rows = clean_table(rows)
+    write_table(args.out, rows, us[0], us[1] - us[0], es[0], es[1] - es[0],
+                args.nu, args.ne)
+
+
+def write_table(out, rows, u0, du, e0, de, nu, ne):
     lines = [
         '"""AUTO-GENERATED by tools/rwz/calibrate_ecc.py — do not edit.',
         "",
         "Eccentric strong-field residual calibration R_lmn(u, e) from the",
         "first-principles eccentric RWZ solver (tools/rwz/eccentric.py):",
         "COMPLEX per-mode amplitude ratio exact / (model x B_lm) on the",
-        "regular (u, e) orbit grid (u = log(p - p_sep + U_SHIFT)).",
+        "regular (u, e) orbit grid (u = log(p - p_sep + U_SHIFT)),",
+        "robust-cleaned (clean_table: isolated solver glitches rejected",
+        "against the 3x3 neighborhood, amplitude-floor holes smooth-filled).",
         "Multiplies the complex per-mode amplitudes on top of the circular",
         "B_lm(x_mn) table (|R|: modulus residual, arg R: phase residual).",
         '"""',
         "",
         "import numpy as np",
         "",
-        f"U0 = {us[0]!r}",
-        f"DU = {(us[1] - us[0])!r}",
-        f"E0 = {es[0]!r}",
-        f"DE = {(es[1] - es[0])!r}",
-        f"N_U = {args.nu}",
-        f"N_E = {args.ne}",
+        f"U0 = {float(u0)!r}",
+        f"DU = {float(du)!r}",
+        f"E0 = {float(e0)!r}",
+        f"DE = {float(de)!r}",
+        f"N_U = {nu}",
+        f"N_E = {ne}",
         "",
         "R_TABLE = {",
     ]
@@ -182,12 +329,25 @@ def main(argv=None):
             f"{v.real:.10g}{v.imag:+.10g}j" for v in rows[key].ravel()
         )
         lines.append(
-            f"    {key}: np.array([{flat}]).reshape({args.nu}, {args.ne}),"
+            f"    {key}: np.array([{flat}]).reshape({nu}, {ne}),"
         )
     lines.append("}")
-    with open(args.out, "w") as fh:
+    with open(out, "w") as fh:
         fh.write("\n".join(lines) + "\n")
-    print("wrote", args.out, f"({len(rows)} mode rows)")
+    print("wrote", out, f"({len(rows)} mode rows)")
+
+
+def clean_existing(path):
+    """Re-apply clean_table to an already-generated data module in place
+    (the solve is hours; cleaning is deterministic and cheap)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("_ecc_existing", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    rows = clean_table(mod.R_TABLE)
+    write_table(path, rows, mod.U0, mod.DU, mod.E0, mod.DE,
+                mod.N_U, mod.N_E)
 
 
 if __name__ == "__main__":
