@@ -48,7 +48,10 @@ PHYS_KW = (
 K_MAX = 16
 MAX_STEPS = 192  # 1-yr trajectories use ~135 adaptive knots
 BATCH = 128  # fixed trajectory/dispatch overheads amortize (~0.45 ms/wf at 64)
-REPS = 4
+# in-graph repetitions per dispatch: the host round-trip on this tunnel costs
+# ~32 ms per loop call (profiled), i.e. ~0.06 ms/wf at REPS=4 — 16 reps push
+# the dispatch share under 0.02 ms/wf while each timed call stays ~1 s
+REPS = 16
 BAND_RUNS = 256  # widest band ~178 runs + offset margin (gate 1 verifies)
 BINS_PER_RUN = 64
 TURNOVER_SLOTS = 2  # PE-template default: plunge-branch content evaluated

@@ -104,9 +104,15 @@ def integrate_inspiral(
     t_buf = jnp.zeros((max_steps,), dtype)
     y_buf = jnp.zeros((max_steps, y0.shape[0]), dtype).at[0].set(y0)
 
-    def one_step(t, y, h):
-        k = []
-        for i in range(7):
+    def one_step(t, y, h, k0):
+        # FSAL: stage 0 is rhs(y), which the caller carries — on an accepted
+        # step it equals the previous step's stage 6 (the B5 row of the DP5
+        # tableau IS the a[6] row), and on a rejected step y is unchanged, so
+        # the carried value stays valid either way. Saves 1 of 7 RHS evals
+        # per iteration; the RHS (flux + Darwin quadrature) dominates the
+        # op-count-bound while-loop body on TPU.
+        k = [k0]
+        for i in range(1, 7):
             yi = y
             for j, aij in enumerate(_A[i]):
                 yi = yi + h * aij * k[j]
@@ -120,12 +126,13 @@ def integrate_inspiral(
         scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y5))
         err_norm = jnp.sqrt(jnp.mean((err / scale) ** 2))
         err_norm = jnp.where(jnp.isnan(err_norm), jnp.inf, err_norm)
-        return y5, err_norm
+        return y5, err_norm, k[6]
 
     class Carry(NamedTuple):
         t: jax.Array
         y: jax.Array
         h: jax.Array
+        k0: jax.Array  # rhs(y) — FSAL carry
         t_buf: jax.Array
         y_buf: jax.Array
         count: jax.Array
@@ -137,7 +144,7 @@ def integrate_inspiral(
 
     def body(c: Carry):
         h = jnp.minimum(c.h, t_max - c.t)  # land exactly on t_max
-        y_new, err_norm = one_step(c.t, c.y, h)
+        y_new, err_norm, k_last = one_step(c.t, c.y, h, c.k0)
         accept = err_norm <= 1.0
         # PI-ish controller with safety factor and clamps
         fac = jnp.clip(0.9 * jnp.where(err_norm > 0, err_norm, 1e-16) ** -0.2, 0.2, 5.0)
@@ -168,10 +175,15 @@ def integrate_inspiral(
 
         done = accept_final & (hit_stop | hit_tmax)
         h_carry = jnp.where(reject_for_stop, h * 0.5, h_next)
+        # NaN guard: a rejected trial step can produce NaN k_last (out of
+        # the bound-orbit domain); only accepted steps adopt it, and an
+        # accepted y5 has finite rhs by construction of the error norm
+        k0_new = jnp.where(accept_final, k_last, c.k0)
         return Carry(
             t=jnp.where(accept_final, t_new, c.t),
             y=jnp.where(accept_final, y_new, c.y),
             h=h_carry,
+            k0=k0_new,
             t_buf=t_buf,
             y_buf=y_buf,
             count=count_new,
@@ -183,6 +195,7 @@ def integrate_inspiral(
         t=jnp.asarray(0.0, dtype),
         y=y0,
         h=jnp.asarray(h0, dtype),
+        k0=rhs(y0),
         t_buf=t_buf,
         y_buf=y_buf,
         count=jnp.asarray(1, jnp.int32),  # knot 0 = IC

@@ -584,7 +584,9 @@ def fd_mode_sum_uniform(
     band_offsets_extra: jax.Array | None = None,
     extra_band_runs: int | None = None,
     scan_unroll: int = 1,
+    slot_unroll: bool | None = None,
     out_dtype=None,
+    _return_padded: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Gather-minimal FD summation for UNIFORM output grids f = f0 + i*df.
 
@@ -704,6 +706,19 @@ def fd_mode_sum_uniform(
         g0_main = jnp.asarray(band_offsets, jnp.int32)
     g0_main = jnp.clip(g0_main, 0, g_total)
 
+    # slot_unroll: accumulate the main slots in an UNROLLED python loop
+    # instead of a lax.scan. The scan threads the 4 x pad_len f32
+    # accumulators through its carry, and XLA materializes carry copies at
+    # the loop boundary — measured ~0.18 ms/wf at the bench configuration
+    # (the dense flops themselves are ~0.01 ms). Unrolled, each slot's
+    # read-modify-write aliases the previous buffer and the whole chain
+    # fuses (the extras path below always ran unrolled for this reason).
+    # Default: on for banded windows (small per-slot workspace), off for
+    # whole-grid windows where k_max copies of the (g_total, r) dense
+    # workspace would bloat the program.
+    if slot_unroll is None:
+        slot_unroll = band_runs is not None and g_band < g_total
+
     def scan_slots(carry, cphi_s, ar_s, ai_s, fk_s, klo_s, khi_s, dirn_s,
                    live_s, w_s, g0_s, g_band_s, n_nodes_s):
         pc, ec, f_start_all, f_end_all = _level1_uniform_tables(
@@ -711,18 +726,23 @@ def fd_mode_sum_uniform(
             t_knots, f0, df, r, n_nodes_s, run_df,
         )
 
+        xs = (pc, ec, f_start_all, f_end_all, w_s[0], w_s[1], w_s[2], w_s[3],
+              live_s, g0_s)
+
+        if slot_unroll:
+            for s in range(pc.shape[0]):
+                carry, _ = _dense_slot_accumulate(
+                    carry, tuple(x[s] for x in xs),
+                    f0, df, r, run_df, g_band_s, f_pos_dtype,
+                )
+            return carry
+
         def body(carry, mode):
             return _dense_slot_accumulate(
                 carry, mode, f0, df, r, run_df, g_band_s, f_pos_dtype
             )
 
-        carry, _ = jax.lax.scan(
-            body,
-            carry,
-            (pc, ec, f_start_all, f_end_all, w_s[0], w_s[1], w_s[2], w_s[3],
-             live_s, g0_s),
-            unroll=scan_unroll,
-        )
+        carry, _ = jax.lax.scan(body, carry, xs, unroll=scan_unroll)
         return carry
 
     zero = jnp.zeros((pad_len,), f32)
@@ -769,6 +789,8 @@ def fd_mode_sum_uniform(
         carry = (o1r, o1i, o2r, o2i)
 
     o1r, o1i, o2r, o2i = carry
+    if _return_padded:
+        return o1r, o1i, o2r, o2i
     # the accumulators are f32 (the dense pass's native precision); the
     # default f64 cast is interface convenience — out_dtype=float32 skips
     # it on hot paths (halves the output write traffic, no information)
@@ -805,13 +827,20 @@ def _dense_slot_accumulate(carry, mode, f0, df, r, run_df, g_band_s, f_pos_dtype
     c_re = er_d * c_psi - ei_d * s_psi
     c_im = er_d * s_psi + ei_d * c_psi
 
-    f_node0 = f0 + g0.astype(f_pos_dtype) * run_df
-    f_bins = (
-        f_node0
-        + jnp.arange(g_band_s, dtype=f_pos_dtype)[:, None] * run_df
-        + (jnp.arange(r, dtype=f_pos_dtype) * df)[None, :]
+    # band mask in int32 bin-index space: the f64 per-bin frequency grid
+    # (g_band, r) and its two f64 compares are emulated ~5x on this chip
+    # and measured as a top cost of the dense pass. The band limits are
+    # per-slot SCALARS, so fold them to bin indices once (f64, 2 scalars)
+    # and compare the shared int32 local-index grid against them — exact:
+    # bin i is kept iff i >= ceil((f_start - f0)/df) and i <= floor(...).
+    i_lo = jnp.ceil((f_start - f0) / df).astype(jnp.int32) - g0 * r
+    i_hi = jnp.floor((f_end - f0) / df).astype(jnp.int32) - g0 * r
+    i_lo = jnp.where(live_i > 0, i_lo, jnp.iinfo(jnp.int32).max)
+    idx_local = (
+        jnp.arange(g_band_s, dtype=jnp.int32)[:, None] * r
+        + jnp.arange(r, dtype=jnp.int32)[None, :]
     )
-    keep = (f_bins >= f_start) & (f_bins <= f_end) & (live_i > 0)
+    keep = (idx_local >= i_lo) & (idx_local <= i_hi)
     # where-mask (not multiply): masked lanes can hold NaN/inf from
     # extrapolated or non-monotone (masked-out) modes, 0 * NaN = NaN
     c_re = jnp.where(keep, c_re, 0.0).astype(f32)
@@ -902,15 +931,21 @@ def _level1_uniform_tables(
     win_len = (k_hi - k_lo).astype(jnp.int32)  # segments in window
     jj = jnp.arange(1, k - 1)  # oriented knot numbers 1..K-2
     idx_bnd = jnp.where(inc, k_lo[:, None] + jj[None, :], k_hi[:, None] - jj[None, :])
+    # boundary gather + compare in f32: the f64 gather lowers to TWO f32
+    # word-gathers on this chip (~10 ns/row x Mk x (K-2) — measured as the
+    # single largest level-1 op). Segment assignment only steers which
+    # C2-continuous cubic the Newton solve starts from, so an f32-ulp tie
+    # (~6e-8 relative, vs node spacing ~1e-4 of f) at worst seeds from the
+    # neighboring segment, which the seed clip already tolerates.
     f_bnd = jnp.take_along_axis(
-        f_knots_all, jnp.clip(idx_bnd, 0, k - 1).astype(jnp.int32), axis=1
+        f_knots_all.astype(f32), jnp.clip(idx_bnd, 0, k - 1).astype(jnp.int32), axis=1
     )
     bnd = jnp.where(
         jj[None, :] <= (win_len[:, None] - 1),
         f_bnd,
-        1e30 * (1.0 + jj[None, :].astype(dt64)),
-    )  # (Mk, K-2)
-    a_cmp = (bnd[:, None, :] <= f_node[:, :, None]).astype(f32)  # (Mk, N, K-2)
+        f32(1e30) * (1.0 + jj[None, :].astype(f32)),
+    )  # (Mk, K-2) f32
+    a_cmp = (bnd[:, None, :] <= f_node[:, :, None].astype(f32)).astype(f32)  # (Mk, N, K-2)
     ones = jnp.ones((mk, n_nodes, 1), f32)
     zeros = jnp.zeros((mk, n_nodes, 1), f32)
     a_ext = jnp.concatenate([ones, a_cmp, zeros], axis=-1)  # (Mk, N, K)

@@ -183,6 +183,7 @@ def fd_waveform_core(
     extra_band_runs: int | None = None,
     band_offsets_extra=None,
     scan_unroll: int = 1,
+    slot_unroll: bool | None = None,
     out_f32: bool = False,
 ):
     """FD waveform on positive frequencies.
@@ -269,6 +270,7 @@ def fd_waveform_core(
             band_offsets=band_offsets, turnover_slots=turnover_slots,
             negative_slots=negative_slots, extra_band_runs=extra_band_runs,
             band_offsets_extra=band_offsets_extra, scan_unroll=scan_unroll,
+            slot_unroll=slot_unroll,
             out_dtype=jnp.float32 if out_f32 else None,
         )
     else:

@@ -29,8 +29,16 @@ BINS_PER_RUN = 64
 
 
 def main():
+    import os
+
     import emri_frequencydomainwaveforms_tpu  # noqa: F401
     import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from emri_frequencydomainwaveforms_tpu.models.amplitude import default_mode_table
     from emri_frequencydomainwaveforms_tpu.models.waveform import (
