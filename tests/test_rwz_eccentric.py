@@ -161,7 +161,7 @@ def test_clean_table_rejects_glitches_keeps_physics():
     noisy = np.exp(rng.normal(0.0, 0.08, (nu, ne))
                    + 1j * rng.normal(0.0, 0.01, (nu, ne)))
 
-    out = clean_table({"a": glitchy, "b": noisy})
+    out, _ = clean_table({"a": glitchy, "b": noisy})
     a, b = out["a"], out["b"]
     # glitches gone: everything within 25% of the local smooth field
     assert np.all(np.abs(np.log(np.abs(a / smooth)))
@@ -171,3 +171,37 @@ def test_clean_table_rejects_glitches_keeps_physics():
     assert np.abs(a).max() > 2.2 and np.abs(a).min() < 1.8
     # noise-dominated modulus shrunk to ~identity
     assert np.all(np.abs(np.abs(b) - 1.0) < 0.05)
+
+
+def test_clean_table_noise_driven_shrinkage():
+    """With measured per-node error bars (round 4) the shrinkage is
+    noise-driven: well-resolved node-scale structure survives in full
+    (the blanket Wiener stage would have discarded it), while nodes whose
+    deviation sits inside their own error bar revert to the local smooth
+    field."""
+    from tools.rwz.calibrate_ecc import clean_table
+
+    rng = np.random.default_rng(11)
+    nu, ne = 10, 6
+    uu = np.linspace(0.0, 1.0, nu)[:, None]
+    ee = np.linspace(0.0, 1.0, ne)[None, :]
+    # smooth field plus REAL node-scale ripple, measured errors tiny
+    ripple = 0.06 * np.cos(7.0 * uu + 5.0 * ee)
+    field = (1.0 + 0.5 * uu) * np.exp(ripple + 0.02j)
+    errs = np.full((nu, ne), 1e-8)
+    out, oerr = clean_table({"a": field}, {"a": errs})
+    # resolved ripple kept (blanket Wiener would flatten ~half of it)
+    assert np.max(np.abs(np.log(np.abs(out["a"] / field)))) < 5e-3
+    assert oerr["a"].shape == (nu, ne)
+
+    # pure smooth trend + node noise at the measured error scale:
+    # the node-scale part reverts to the smooth field
+    trend = (1.0 + 0.5 * uu) * np.exp(0.02j) * np.ones((nu, ne))
+    noisy = trend * np.exp(rng.normal(0.0, 0.05, (nu, ne)))
+    errs_big = np.full((nu, ne), 0.05)
+    out2, _ = clean_table({"a": noisy}, {"a": errs_big})
+    resid_out = np.log(np.abs(out2["a"] / trend))
+    resid_in = np.log(np.abs(noisy / trend))
+    # the 3x3-median smooth field itself retains ~0.4 sigma of the node
+    # noise, so ~0.5x is the expected reduction floor here
+    assert np.std(resid_out) < 0.65 * np.std(resid_in)

@@ -201,13 +201,21 @@ def _mirror(arr_half: np.ndarray, n_chi: int) -> np.ndarray:
 
 def eccentric_amplitude(
     l: int, m: int, n: int, p: float, e: float, n_chi: int = 256,
-    _orbit: dict | None = None,
-) -> tuple[complex, float]:
+    _orbit: dict | None = None, return_coarse: bool = False,
+) -> tuple[complex, float] | tuple[complex, float, complex]:
     """C_lmn (asymptotic master amplitude, mu = M = 1) and omega_mn.
 
     m may be any sign; the equatorial source obeys C_{l,-m,-n} =
     +/- (-1)^l conj(C_{l,m,n}) (+ even parity, - odd), so callers
     usually keep m >= 1 (identical per-mode flux).
+
+    ``return_coarse=True`` additionally returns the SAME integral evaluated
+    on the embedded half-resolution chi grid (every other node of the
+    uniform grid; the homogeneous solve is shared, so this is nearly free).
+    |C - C_coarse| is a conservative quadrature-error estimate for C (it
+    approximates the HALF-grid's error; the fine grid's own error is
+    smaller still for this spectrally-convergent trapezoid) — the per-node
+    error bars stored by tools/rwz/calibrate_ecc.py.
     """
     orb = _orbit if _orbit is not None else darwin_orbit(p, e, n_chi)
     n_chi = len(orb["chi"])
@@ -271,8 +279,16 @@ def eccentric_amplitude(
 
     phase = np.exp(1j * (omega * orb["t"] - m * orb["phi"]))
     h = 2.0 * np.pi / n_chi
-    integral = np.sum(orb["dt_dchi"] * phase * total) * h
-    return integral / (W * orb["T_r"]), omega
+    integrand = orb["dt_dchi"] * phase * total
+    integral = np.sum(integrand) * h
+    c_fine = integral / (W * orb["T_r"])
+    if not return_coarse:
+        return c_fine, omega
+    # embedded half-resolution quadrature (T_r re-derived on the coarse
+    # grid too, so the estimate covers the orbit-functional error as well)
+    t_r_coarse = np.sum(orb["dt_dchi"][::2]) * (2.0 * h)
+    c_coarse = np.sum(integrand[::2]) * (2.0 * h) / (W * t_r_coarse)
+    return c_fine, omega, c_coarse
 
 
 def eccentric_flux_mode(
