@@ -107,11 +107,16 @@ def main() -> None:
     # when first tried). Per-lane amplitudes/phases still vary; gate 1b
     # below PROVES the frozen set covers >= (1 - eps) of every lane's mode
     # power, which is the eps semantic the metric claims.
-    pro_sel = waveform_prologue(
-        1e6, 10.0, 12.0, 0.35, 0.7, 0.5, 1.0, 0.0, 0.0,
-        t_years=T_YEARS, table=table, k_max=K_MAX, eps=EPS,
-        max_steps=MAX_STEPS, **PHYS_KW,
-    )
+    # jitted even for this one-shot call: eager op-by-op dispatch over the
+    # remote-compile tunnel costs seconds per op (the rwz prologue traces
+    # to ~2000 ops -> tens of minutes eager; measured round 4)
+    pro_sel = jax.jit(
+        lambda: waveform_prologue(
+            1e6, 10.0, 12.0, 0.35, 0.7, 0.5, 1.0, 0.0, 0.0,
+            t_years=T_YEARS, table=table, k_max=K_MAX, eps=EPS,
+            max_steps=MAX_STEPS, **PHYS_KW,
+        )
+    )()
     forced_idx = np.asarray(pro_sel.sel.idx)
     # production fast path: the table is SLICED to the frozen selection so
     # the prologue evaluates amplitudes only for the kept modes (the
@@ -128,7 +133,7 @@ def main() -> None:
         )
 
     # shared band windows from the same representative source
-    pro0 = prologue(12.0, 0.35, 0.7, 0.5)
+    pro0 = jax.jit(prologue)(12.0, 0.35, 0.7, 0.5)
     offsets_j = jnp.asarray(
         band_offsets_for(pro0, table_k, f0u, dfu, BINS_PER_RUN, BAND_RUNS)
     )

@@ -34,20 +34,23 @@ def build_parser():
                    help="draw one random (l,m,n) mode per point instead of eps-selection")
     p.add_argument("-outname", "--outname", type=str, default="check_mode_by_mode.h5")
     p.add_argument("--seed", type=int, default=2601996)
-    p.add_argument("-turnover_slots", "--turnover_slots", type=int, default=0,
-                   help="extra FD kernel slots for post-turnover branches")
+    p.add_argument("-turnover_slots", "--turnover_slots", type=int, default=2,
+                   help="extra FD kernel slots for post-turnover branches "
+                        "(default matches the PE-template/facade default)")
     p.add_argument("-negative_slots", "--negative_slots", type=int, default=0,
                    help="extra FD kernel slots for negative-frequency ranges")
-    p.add_argument("-flux", "--flux", type=str, default="pm",
+    p.add_argument("-flux", "--flux", type=str, default="multipole_rwz",
                    choices=["pm", "multipole", "multipole_tail",
                             "multipole_factorized", "multipole_rwz"],
-                   help="trajectory dissipation model")
-    p.add_argument("-amp", "--amp", type=str, default="flat",
+                   help="trajectory dissipation model (default: the "
+                        "calibrated RWZ stack — production physics)")
+    p.add_argument("-amp", "--amp", type=str, default="rwz",
                    choices=["flat", "tail", "factorized", "rwz"],
                    help="amplitude physics: flat-space multipoles, + wave-"
                         "tail factor, + full factorized resummation "
                         "(source/rho/delta; models.rho), + RWZ strong-"
-                        "field calibration (models.rwz_calibration)")
+                        "field calibration (models.rwz_calibration; "
+                        "default)")
     return p
 
 

@@ -73,15 +73,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--plot", action="store_true",
                    help="write a corner plot of the cold chain "
                         "(reference emri_pe.py:577-582)")
-    p.add_argument("-flux", "--flux", type=str, default="pm",
+    p.add_argument("-flux", "--flux", type=str, default="multipole_rwz",
                    choices=["pm", "multipole", "multipole_tail",
                             "multipole_factorized", "multipole_rwz"],
-                   help="trajectory dissipation model (models.flux)")
-    p.add_argument("-amp", "--amp", type=str, default="flat",
+                   help="trajectory dissipation model (models.flux). "
+                        "Default: the calibrated RWZ stack — the repo's "
+                        "best physics IS the production physics, matching "
+                        "the reference whose default amplitude/flux data "
+                        "is its Teukolsky content (reference emri_pe.py"
+                        ":55-57,620). 'pm' restores the cheap flat rung.")
+    p.add_argument("-amp", "--amp", type=str, default="rwz",
                    choices=["flat", "tail", "factorized", "rwz"],
                    help="amplitude physics ladder: flat-space multipoles, "
                         "+ wave-tail factor, + factorized resummation, "
-                        "+ RWZ strong-field calibration")
+                        "+ RWZ strong-field calibration (default)")
     return p
 
 

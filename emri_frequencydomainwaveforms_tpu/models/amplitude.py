@@ -233,11 +233,11 @@ def _orbit_harmonics(p, e, n_max: int, fam_subset: tuple[int, ...] | None = None
     ell = (r * r) * dphi_dchi / dt_dchi
     c1, s1 = jnp.cos(dphi), jnp.sin(dphi)
     ck = {0: (jnp.ones_like(c1), jnp.zeros_like(s1)), 1: (c1, s1)}
-    for k in range(2, 7):
+    for k in range(2, 9):
         cprev, sprev = ck[k - 1]
         ck[k] = (cprev * c1 - sprev * s1, sprev * c1 + cprev * s1)
     rpow = {1: r}
-    for rp in range(2, 7):
+    for rp in range(2, 9):
         rpow[rp] = rpow[rp - 1] * r
 
     def fval(rp, lp):
@@ -397,7 +397,10 @@ def mode_amplitudes(
         ls == 2, w2,
         jnp.where(ls == 3, w3,
                   jnp.where(ls == 4, w4,
-                            jnp.where(ls == 5, w4 * omega_mn, w4 * w2))),
+                            jnp.where(ls == 5, w4 * omega_mn,
+                                      jnp.where(ls == 6, w4 * w2,
+                                                jnp.where(ls == 7, w4 * w3,
+                                                          w4 * w4))))),
     )
 
     a = pw * f_sel

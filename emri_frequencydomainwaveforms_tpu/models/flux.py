@@ -30,7 +30,7 @@ nu = mu/M.
 
 from __future__ import annotations
 
-from functools import lru_cache
+from functools import lru_cache, partial
 from typing import NamedTuple
 
 import jax
@@ -158,14 +158,26 @@ def build_flux_grid(
     pp = np.exp(uu) - _U_SHIFT + 6.0 + 2.0 * ee
     # the first build can be triggered from inside a jit trace (the grid
     # is lru-cached lazily); force compile-time evaluation so the cached
-    # table holds concrete arrays, never tracers of a dead trace
-    with jax.ensure_compile_time_eval():
-        de, dl = flux_from_modes(
-            jnp.asarray(pp.ravel()), jnp.asarray(ee.ravel()),
-            tail=tail, factorized=factorized, rwz=rwz,
-        )
+    # table holds concrete arrays, never tracers of a dead trace.
+    # The evaluation itself is ONE jitted program pinned to the host CPU
+    # backend: the calibrated stack traces to ~1000 ops, and eager
+    # per-op dispatch over a remote-compile accelerator tunnel costs
+    # seconds PER OP (~30 min for the rwz grid — measured round 4); a
+    # single local CPU compile takes seconds total, in true f64.
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:  # pragma: no cover - cpu platform masked
+        cpu = None
+    with jax.ensure_compile_time_eval(), jax.default_device(cpu):
+        de, dl = jax.jit(
+            partial(flux_from_modes, tail=tail, factorized=factorized, rwz=rwz)
+        )(jnp.asarray(pp.ravel()), jnp.asarray(ee.ravel()))
         vals = jnp.stack(
-            [de.reshape(n_u, n_e), dl.reshape(n_u, n_e)], axis=-1
+            [
+                jnp.reshape(de, (n_u, n_e)),
+                jnp.reshape(dl, (n_u, n_e)),
+            ],
+            axis=-1,
         )
     # cache PURE NUMPY: a jnp constant created while an outer trace is
     # active would be (or wrap) a tracer of that trace and poison the

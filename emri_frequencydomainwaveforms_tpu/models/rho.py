@@ -168,7 +168,10 @@ def rho_l_pow(ls: np.ndarray, ms: np.ndarray, x: jax.Array) -> jax.Array:
         ls_j == 2, r2,
         jnp.where(ls_j == 3, r3,
                   jnp.where(ls_j == 4, r4,
-                            jnp.where(ls_j == 5, r4 * rho, r4 * r2))),
+                            jnp.where(ls_j == 5, r4 * rho,
+                                      jnp.where(ls_j == 6, r4 * r2,
+                                                jnp.where(ls_j == 7, r4 * r3,
+                                                          r4 * r4))))),
     )
 
 

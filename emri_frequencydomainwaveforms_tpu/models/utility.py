@@ -19,36 +19,52 @@ from . import inspiral as _inspiral
 
 
 def get_fundamental_frequencies(a, p, e, x):
-    """(OmegaPhi, OmegaTheta, OmegaR), generic spin, equatorial (x = +-1).
+    """(OmegaPhi, OmegaTheta, OmegaR) for generic (a, p, e, x = cos I).
 
-    a = 0 takes the spectrally-exact Schwarzschild quadrature; a != 0 the
-    equatorial Kerr path (`geodesic.fundamental_frequencies_kerr`:
-    divided-difference (E, L) Newton solve + Darwin quadrature, validated
-    against the Bardeen circular-orbit/epicyclic closed forms). Inclined
-    (|x| != 1) orbits are outside the equatorial scope.
+    a = 0, |x| = 1 takes the spectrally-exact Schwarzschild quadrature;
+    a != 0, |x| = 1 the equatorial Kerr path
+    (`geodesic.fundamental_frequencies_kerr`: divided-difference (E, L)
+    Newton solve + Darwin quadrature, validated against the Bardeen
+    circular-orbit/epicyclic closed forms); generic inclination
+    (round 4) the Schmidt-style generic solve
+    (`geodesic.fundamental_frequencies_kerr_generic`: (E, L_z, Q) Newton
+    + Darwin/polar spectral quadratures, validated against both limits
+    and a direct Mino-time geodesic integration). Matches the reference
+    ``few.utils.utility.get_fundamental_frequencies`` signature (FD
+    notebook cell 1).
     """
-    if np.all(np.asarray(a) == 0.0):
+    if np.all(np.asarray(a) == 0.0) and np.all(np.abs(np.asarray(x)) == 1.0):
         om_phi, om_r = _fund_freq(jnp.asarray(p), jnp.asarray(e))
         sign = np.sign(np.asarray(x, dtype=np.float64))
         om_phi = np.asarray(om_phi) * np.where(sign == 0, 1.0, sign)
         return om_phi, np.abs(om_phi), np.asarray(om_r)
-    if np.any(np.abs(np.asarray(x)) != 1.0):
-        raise NotImplementedError("Kerr frequencies: equatorial (x = +-1) only")
-    from .geodesic import fundamental_frequencies_kerr
+    if np.all(np.abs(np.asarray(x)) == 1.0):
+        from .geodesic import fundamental_frequencies_kerr
 
-    om_phi, om_theta, om_r = fundamental_frequencies_kerr(a, jnp.asarray(p), jnp.asarray(e), x)
+        om_phi, om_theta, om_r = fundamental_frequencies_kerr(
+            a, jnp.asarray(p), jnp.asarray(e), x
+        )
+        return np.asarray(om_phi), np.asarray(om_theta), np.asarray(om_r)
+    from .geodesic import fundamental_frequencies_kerr_generic
+
+    om_phi, om_theta, om_r = fundamental_frequencies_kerr_generic(
+        a, jnp.asarray(p), jnp.asarray(e), x
+    )
     return np.asarray(om_phi), np.asarray(om_theta), np.asarray(om_r)
 
 
 def get_separatrix(a, e, x):
-    """Separatrix p_s(a, e, x); exact 6 + 2e at a = 0, equatorial Kerr else."""
+    """Separatrix p_s(a, e, x); exact 6 + 2e at a = 0, equatorial Kerr
+    bisection at |x| = 1, generic-inclination bisection otherwise."""
     if np.all(np.asarray(a) == 0.0):
         return np.asarray(_sep(jnp.asarray(e)))
-    if np.any(np.abs(np.asarray(x)) != 1.0):
-        raise NotImplementedError("Kerr separatrix: equatorial (x = +-1) only")
-    from .geodesic import separatrix_kerr
+    if np.all(np.abs(np.asarray(x)) == 1.0):
+        from .geodesic import separatrix_kerr
 
-    return np.asarray(separatrix_kerr(a, jnp.asarray(e), x))
+        return np.asarray(separatrix_kerr(a, jnp.asarray(e), x))
+    from .geodesic import separatrix_kerr_generic
+
+    return np.asarray(separatrix_kerr_generic(a, jnp.asarray(e), x))
 
 
 def get_overlap(time_series_1, time_series_2, use_gpu=False):

@@ -567,14 +567,16 @@ class FastSchwarzschildEccentricFlux:
         # reference's inspiral_kwargs routing (reference emri_pe.py:55-70)
         self.traj_method = inspiral_kwargs.get("method", "dp5")
         self.traj_max_steps = int(inspiral_kwargs.get("max_steps", 512))
-        # relativistic wave-tail amplitude correction (models.tail)
-        self.tail = bool(amplitude_kwargs.get("tail", False))
-        # effective source + rho_lm/delta_lm factorized resummation
-        # (models.rho) and RWZ strong-field calibration
-        # (models.rwz_calibration); full fidelity =
-        # {"tail": True, "factorized": True, "rwz": True}
-        self.factorized = bool(amplitude_kwargs.get("factorized", False))
-        self.rwz = bool(amplitude_kwargs.get("rwz", False))
+        # amplitude physics ladder. The facade defaults to the FULL
+        # calibrated stack (wave-tail factor, factorized resummation, RWZ
+        # strong-field calibration incl. the eccentric residual table) —
+        # the reference's generator is always backed by its best
+        # (Teukolsky) amplitude data (reference emri_pe.py:55-57, FD
+        # notebook cell 2), so the facade's best physics is its default
+        # physics too; pass {"tail": False, ...} to step down the ladder.
+        self.tail = bool(amplitude_kwargs.get("tail", True))
+        self.factorized = bool(amplitude_kwargs.get("factorized", True))
+        self.rwz = bool(amplitude_kwargs.get("rwz", True))
         self.output_type = sum_kwargs.get("output_type", "td")
         self.odd_len = sum_kwargs.get("odd_len", True)
         self.pad_output = sum_kwargs.get("pad_output", False)
@@ -587,7 +589,11 @@ class FastSchwarzschildEccentricFlux:
         default_ts = 2 if sum_kwargs.get("output_type", "td") == "fd" else 0
         self.turnover_slots = int(sum_kwargs.get("turnover_slots", default_ts))
         self.negative_slots = int(sum_kwargs.get("negative_slots", 0))
-        self.flux = sum_kwargs.get("flux", "pm")
+        # trajectory dissipation: default is the calibrated mode-sum flux,
+        # energy-balanced with the default rwz amplitude stack (the
+        # reference trajectory is likewise driven by its Teukolsky flux
+        # data, reference emri_pe.py:620)
+        self.flux = sum_kwargs.get("flux", "multipole_rwz")
         self.table = default_mode_table(n_max, l_max=l_max)
         self.k_max = k_max
         self.frequency = None

@@ -177,7 +177,13 @@ def test_interp2d_grid_carries_full_fidelity_source():
     mag = np.abs(np.asarray(dr)) + np.abs(np.asarray(di))
     scale = np.maximum(mag, mag.max() * 1e-3)
     err = (np.abs(np.asarray(gr - dr)) + np.abs(np.asarray(gi - di))) / scale
-    assert float(err.max()) < 5e-3
+    # the eccentric residual R is piecewise-BILINEAR in (u, e) (round-4
+    # dense table), so the bicubic sampling grid carries O(cell) error
+    # near the residual table's cell boundaries; dominant modes stay
+    # interpolation-accurate, weak sidebands may see ~1%
+    dominant = mag > 0.1 * mag.max()
+    assert float(err[dominant].max()) < 2e-3
+    assert float(err.max()) < 2e-2
 
 
 def test_facade_rwz_waveform_runs():

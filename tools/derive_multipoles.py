@@ -41,6 +41,9 @@ from emri_frequencydomainwaveforms_tpu.models.geodesic import darwin_orbit
 
 N_CHI = 2048
 N_MAX = 40
+# highest multipole degree to derive (round 4 extends the inventory to
+# l = 8; the STF/torus machinery is rank-generic)
+L_TOP = 8
 
 
 def orbit_data(p, e):
@@ -447,6 +450,15 @@ def brute_force_terms(p, e, theta, phi_v, t_grid):
     terms["T8_cur5"] = ([current_term(5, 1.0 / 18.0).coeffs(od)], [5])
     terms["T9_mass6"] = ([mass_term(6, 1.0 / 180.0).coeffs(od)], [6])
     terms["T10_cur6"] = ([current_term(6, 1.0 / 105.0).coeffs(od)], [6])
+    if L_TOP >= 7:
+        # Thorne 4.8 series continued: mass l coefficient 4/l!, current l
+        # coefficient 8l/(l+1)!  ->  l=7: 4/5040 = 1/1260, 56/40320 = 1/720;
+        #                             l=8: 4/40320 = 1/10080, 64/362880 = 1/5670
+        terms["T11_mass7"] = ([mass_term(7, 1.0 / 1260.0).coeffs(od)], [7])
+        terms["T12_cur7"] = ([current_term(7, 1.0 / 720.0).coeffs(od)], [7])
+    if L_TOP >= 8:
+        terms["T13_mass8"] = ([mass_term(8, 1.0 / 10080.0).coeffs(od)], [8])
+        terms["T14_cur8"] = ([current_term(8, 1.0 / 5670.0).coeffs(od)], [8])
 
     return {k: h_of_t(tabs, od, t_grid, Ls) for k, (tabs, Ls) in terms.items()}, od
 
@@ -511,6 +523,16 @@ def main():
         ("T10_cur6", -1, [(6, 5, lambda r, l: l * r**5), (6, 3, lambda r, l: l * r**5),
                           (6, 1, lambda r, l: l * r**5)]),
     ]
+    if L_TOP >= 7:
+        cases += [
+            ("T11_mass7", +1, [(7, m, lambda r, l: r**7) for m in (7, 5, 3, 1)]),
+            ("T12_cur7", -1, [(7, m, lambda r, l: l * r**6) for m in (6, 4, 2, 0)]),
+        ]
+    if L_TOP >= 8:
+        cases += [
+            ("T13_mass8", +1, [(8, m, lambda r, l: r**8) for m in (8, 6, 4, 2, 0)]),
+            ("T14_cur8", -1, [(8, m, lambda r, l: l * r**7) for m in (7, 5, 3, 1)]),
+        ]
 
     angles = [(0.8, 0.3), (1.9, 2.2), (2.6, 5.1)]
     # brute force once per angle (the rank-6 STF assembly dominates)

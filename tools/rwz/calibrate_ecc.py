@@ -55,6 +55,10 @@ N_LO, N_HI = -2, 12
 # isolated nodes) show 1.5-5x modulus spikes and ~pi phase flips.
 MAG_TOL = 1.35
 PH_TOL = 0.35
+# with per-node measured error bars, reject a node only when its OWN
+# quadrature error exceeds this (glitches show up here; smooth-field
+# deviation alone is evidence of physics, not of a glitch)
+ERR_REJECT = 5e-3
 
 
 def model_amplitudes_f64(p, e, orb, table, tls, tms, tns):
@@ -192,6 +196,24 @@ def clean_table(rows, errs=None):
                 for j in range(ne):
                     if not calib[i, j]:
                         continue
+                    # with measured error bars (round 4), a node is a
+                    # glitch ONLY if its own quadrature error says so —
+                    # smoothness-based rejection demonstrably replaced
+                    # REAL structure measured to 1e-14 (high-e edge of
+                    # (3,3,1); held-out check). Legacy tables without
+                    # error bars keep the neighborhood-deviation test.
+                    if err is not None:
+                        if err[i, j] > ERR_REJECT:
+                            vals = _calibrated_neighbors(
+                                logmag, ph, calib, i, j)
+                            if len(vals) < 2:
+                                repl[(i, j)] = None
+                            else:
+                                lm = float(np.median([v[0] for v in vals]))
+                                lp = float(np.angle(np.mean(
+                                    [np.exp(1j * v[1]) for v in vals])))
+                                repl[(i, j)] = np.exp(lm + 1j * lp)
+                        continue
                     vals = _calibrated_neighbors(logmag, ph, calib, i, j)
                     if len(vals) < 2:
                         repl[(i, j)] = None
@@ -312,10 +334,24 @@ def main(argv=None):
     ap.add_argument("--clean-existing", type=str, default=None,
                     help="skip the solve: re-clean and rewrite an "
                          "existing generated table in place")
+    ap.add_argument("--from-raw", type=str, default=None,
+                    help="skip the solve: re-clean from a saved raw npz "
+                         "sidecar and write --out")
     args = ap.parse_args(argv)
 
     if args.clean_existing:
         clean_existing(args.clean_existing)
+        return
+    if args.from_raw:
+        dat = np.load(args.from_raw)
+        keys = [tuple(int(v) for v in k) for k in dat["keys"]]
+        rows = {k: dat["rows"][i] for i, k in enumerate(keys)}
+        errs = {k: dat["errs"][i] for i, k in enumerate(keys)}
+        u0, du, e0, de, nu, ne = dat["grid"]
+        rows, errs = clean_table(rows, errs)
+        _err_summary(rows, errs)
+        write_table(args.out, rows, u0, du, e0, de, int(nu), int(ne),
+                    errs=errs)
         return
 
     import jax
@@ -417,6 +453,20 @@ def main(argv=None):
                 f"node ({i},{j}) p={p:7.3f} e={e:.2f}: {done} modes, "
                 f"{time.time() - t_start:7.0f}s elapsed", flush=True,
             )
+
+    # persist the RAW solve (npz sidecar): cleaning policy can then be
+    # iterated without re-running the hours-long solve
+    raw_path = args.out.replace(".py", "_raw.npz").replace(
+        "emri_frequencydomainwaveforms_tpu/models/", "tools/rwz/")
+    np.savez_compressed(
+        raw_path,
+        keys=np.array(sorted(rows), dtype=np.int64),
+        rows=np.stack([rows[k] for k in sorted(rows)]),
+        errs=np.stack([errs[k] for k in sorted(rows)]),
+        grid=np.array([us[0], us[1] - us[0], es[0], es[1] - es[0],
+                       args.nu, args.ne]),
+    )
+    print("raw solve saved to", raw_path)
 
     rows, errs = clean_table(rows, errs)
     _err_summary(rows, errs)
