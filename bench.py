@@ -29,12 +29,15 @@ import numpy as np
 
 T_YEARS, DT = 1.0, 10.0
 EPS = 1e-2
-# BENCH_PHYS=rwz scores the FULL physics rung (flux="multipole_rwz",
-# tail+factorized+rwz amplitudes — the Teukolsky-equivalent calibrated
-# stack) instead of the flat default; the per-mode corrections are
-# O(K x M) prologue work, so the cost delta is the honest price of the
-# relativistic content. Gates run identically either way.
-PHYS = os.environ.get("BENCH_PHYS", "flat")
+# The SCORED physics is the FULL calibrated rung (flux="multipole_rwz",
+# tail+factorized+rwz amplitudes — the Teukolsky-equivalent stack), the
+# production default since round 4: the repo's best physics is the
+# physics the benchmark prices. BENCH_PHYS=flat restores the round-3
+# flat-multipole configuration for speed comparisons (NOTE: the flat
+# trajectory resolves the plunge fold more coarsely; the 5e-3 plunge
+# gate is calibrated for the rwz default and reads ~1.6e-2 flat).
+# Gates run identically either way.
+PHYS = os.environ.get("BENCH_PHYS", "rwz")
 PHYS_KW = (
     dict(flux="multipole_rwz", tail=True, factorized=True, rwz=True)
     if PHYS == "rwz" else {}
@@ -259,7 +262,11 @@ def main() -> None:
         scale = np.sqrt(np.mean(b_sub**2)) + 1e-300
         xerr_pl = max(xerr_pl, float(np.sqrt(np.mean((b_sub - g_sub) ** 2)) / scale))
     checks["plunge_xcheck_rel_l2"] = round(xerr_pl, 6)
-    ok_plunge = np.isfinite(xerr_pl) and xerr_pl < 2e-2
+    # tightened 2e-2 -> 5e-3 in round 4 (measured 9e-5..3.6e-4 at rwz
+    # physics after the calibrated-flux trajectory moved the fold
+    # sampling; round-3's 1.6e-2 was the flat-physics fold-resolution
+    # limit, cf. summation_fd.py docstring)
+    ok_plunge = np.isfinite(xerr_pl) and xerr_pl < 5e-3
 
     # ---- gate 2: FD/TD Hann mismatch at the full 1-yr config ----
     t_grid = jnp.asarray(default_time_grid(T_YEARS, DT))

@@ -109,6 +109,31 @@ _FAMILIES = {
     (6, 5): (5, 5, 1, 0.0, +np.sqrt(np.pi / 212837625.0)),
     (6, 3): (3, 5, 1, 0.0, -1.41873087857e-04),
     (6, 1): (1, 5, 1, 0.0, +1.49547365463e-04),
+    # l = 7 mass 2^7-pole (C = K (-i)^7 = +i K: K real -> C imaginary);
+    # round 4, Thorne-4.8 coefficient 4/7! = 1/1260, fit residuals ~9e-11
+    # (full-precision numerics: pi/K^2 does not snap cleanly at f64 fit
+    # precision; (7,7) is consistent with sqrt(pi/47675628000))
+    (7, 7): (7, 7, 0, 0.0, -8.117582762081e-06),
+    (7, 5): (5, 7, 0, 0.0, +5.956677244179e-06),
+    (7, 3): (3, 7, 0, 0.0, -5.388017293582e-06),
+    (7, 1): (1, 7, 0, 0.0, +5.184621961820e-06),
+    # l = 7 current 2^7-pole (coefficient 8*7/8! = 1/720; K imaginary ->
+    # C = i K real)
+    (7, 6): (6, 6, 1, -7.593303376034e-06, 0.0),
+    (7, 4): (4, 6, 1, +8.935015866033e-06, 0.0),
+    (7, 2): (2, 6, 1, -9.524758893299e-06, 0.0),
+    (7, 0): (0, 6, 1, +9.699539140288e-06, 0.0),
+    # l = 8 mass 2^8-pole (C = K (-i)^8 = K; coefficient 4/8! = 1/10080)
+    (8, 8): (8, 8, 0, +4.765713291088e-07, 0.0),
+    (8, 6): (6, 8, 0, -3.480384896283e-07, 0.0),
+    (8, 4): (4, 8, 0, +3.127881196656e-07, 0.0),
+    (8, 2): (2, 8, 0, -2.982317661474e-07, 0.0),
+    (8, 0): (0, 8, 0, +2.940620600128e-07, 0.0),
+    # l = 8 current 2^8-pole (coefficient 8*8/9! = 1/5670)
+    (8, 7): (7, 7, 1, 0.0, -4.236189592099e-07),
+    (8, 5): (5, 7, 1, 0.0, +5.012327120486e-07),
+    (8, 3): (3, 7, 1, 0.0, -5.384103027786e-07),
+    (8, 1): (1, 7, 1, 0.0, +5.544861311315e-07),
 }
 _FAMILY_ORDER = list(_FAMILIES)
 
@@ -145,8 +170,8 @@ class ModeTable(NamedTuple):
 
 def default_mode_table(n_max: int = 30, l_max: int = 4) -> ModeTable:
     """Multipole inventory through ``l_max`` (families in _FAMILIES;
-    l_max up to 6 since round 3 — 25 (l, m) families incl. all current
-    multipoles; production default stays l_max = 4 with the l = 5, 6 rungs
+    l_max up to 8 since round 4 — 42 (l, m) families incl. all current
+    multipoles; production default stays l_max = 4 with the l = 5..8 rungs
     available for convergence studies, cf. tools/convergence_l56.py).
 
     m > 0 families carry n in [-n_max, n_max]; m = 0 families carry

@@ -114,7 +114,15 @@ def schwarz_ecc_flux_inspiral(
 
         # "multipole_factorized" = tail + source/rho resummation (the full
         # factorized per-mode flux; models.rho); "multipole_rwz" adds the
-        # RWZ strong-field calibration (models.rwz_calibration)
+        # RWZ strong-field calibration (models.rwz_calibration).
+        # The f64 gather bicubic is deliberate (round-4 measurements):
+        # an f32 dense-contraction replacement's ~1e-7 quantization broke
+        # the adaptive stepper's error control (step-budget saturation),
+        # and a 48x32 tensor-Chebyshev fit's inter-node ripple modulated
+        # fdot/fddot enough to break the banded/general kernel agreement
+        # (6.5e-6 -> 6e-4). The SPA construction differentiates the flux
+        # twice through the phase splines — the trajectory flux must be
+        # C^1-faithful at f64, which only the bicubic table walk is.
         grid = default_flux_grid(
             tail=(flux != "multipole"),
             factorized=(flux in ("multipole_factorized", "multipole_rwz")),

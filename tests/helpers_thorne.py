@@ -384,5 +384,13 @@ def thorne_h(p, e, theta, phi_v, t_grid,
         h = add_h(mass_term(6, 1.0 / 180.0), 6, h)
     if "T10" in terms:  # current 2^6-pole
         h = add_h(current_term(6, 1.0 / 105.0), 6, h)
+    if "T11" in terms:  # mass 2^7-pole (4/7!)
+        h = add_h(mass_term(7, 1.0 / 1260.0), 7, h)
+    if "T12" in terms:  # current 2^7-pole (8*7/8!)
+        h = add_h(current_term(7, 1.0 / 720.0), 7, h)
+    if "T13" in terms:  # mass 2^8-pole (4/8!)
+        h = add_h(mass_term(8, 1.0 / 10080.0), 8, h)
+    if "T14" in terms:  # current 2^8-pole (8*8/9!)
+        h = add_h(current_term(8, 1.0 / 5670.0), 8, h)
 
     return h

@@ -193,6 +193,29 @@ class TestMultipoleAmplitudes:
         # 6e-4: omega^6 noise amplification (see current-hexadecapole note)
         np.testing.assert_allclose(h_modes / scale, h_direct / scale, atol=6e-4)
 
+    def test_l7_families(self):
+        # round 4: mass/current 2^7-poles vs the generic-STF Thorne-4.8
+        # brute force (same machinery that derived them, but evaluated at
+        # a DIFFERENT orbit/angles than the fit used)
+        t_grid = self._grid()
+        table = _family_table(
+            [(7, 7), (7, 5), (7, 3), (7, 1), (7, 6), (7, 4), (7, 2), (7, 0)]
+        )
+        h_modes = _reconstruct_h(self.P, self.E, 0.8, 2.4, t_grid, table=table)
+        h_direct = thorne_h(self.P, self.E, 0.8, 2.4, t_grid, terms=("T11", "T12"))
+        scale = np.max(np.abs(h_direct))
+        np.testing.assert_allclose(h_modes / scale, h_direct / scale, atol=1e-3)
+
+    def test_l8_families(self):
+        t_grid = self._grid()
+        table = _family_table(
+            [(8, 8), (8, 6), (8, 4), (8, 2), (8, 0), (8, 7), (8, 5), (8, 3), (8, 1)]
+        )
+        h_modes = _reconstruct_h(self.P, self.E, 1.1, 0.6, t_grid, table=table)
+        h_direct = thorne_h(self.P, self.E, 1.1, 0.6, t_grid, terms=("T13", "T14"))
+        scale = np.max(np.abs(h_direct))
+        np.testing.assert_allclose(h_modes / scale, h_direct / scale, atol=2e-3)
+
 
 class TestQuadrupoleAmplitudes:
 

@@ -132,8 +132,13 @@ class TestWiring:
             sum_kwargs={"output_type": "fd"}, n_max=4, l_max=2, k_max=8,
             return_list=True,
         )
-        gen0 = GenerateEMRIWaveform(**kw)
-        gen1 = GenerateEMRIWaveform(amplitude_kwargs={"tail": True}, **kw)
+        # facade defaults to the full rwz stack since round 4: pin the
+        # flat rung explicitly for the knob comparison
+        flat = {"tail": False, "factorized": False, "rwz": False}
+        gen0 = GenerateEMRIWaveform(amplitude_kwargs=dict(flat), **kw)
+        gen1 = GenerateEMRIWaveform(
+            amplitude_kwargs={**flat, "tail": True}, **kw
+        )
         args = (1e6, 10.0, 0.0, 12.0, 0.3, 1.0, 1.0, 0.5, 0.6, 0.7, 0.8, 0.0, 0.0, 0.0)
         h0 = gen0(*args, T=0.01, dt=10.0, eps=1e-2)
         h1 = gen1(*args, T=0.01, dt=10.0, eps=1e-2)

@@ -59,10 +59,11 @@ def power_by_l(m_mass, mu, p0, e0, th, ph, t_years, table, max_steps=256):
     return out
 
 
-def fd_mismatch_l4_vs_l6(m_mass, mu, p0, e0, th, ph, t_years, n_max=20):
-    """Unwindowed FD mismatch between l_max=4 and l_max=6 generations."""
+def fd_mismatch_lpair(m_mass, mu, p0, e0, th, ph, t_years, n_max=20,
+                      l_pair=(4, 6)):
+    """Unwindowed FD mismatch between two l_max inventories."""
     out = {}
-    for l_max in (4, 6):
+    for l_max in l_pair:
         table = default_mode_table(n_max, l_max=l_max)
         pro = waveform_prologue(
             m_mass, mu, p0, e0, th, ph, 1.0, 0.0, 0.0,
@@ -71,7 +72,7 @@ def fd_mismatch_l4_vs_l6(m_mass, mu, p0, e0, th, ph, t_years, n_max=20):
         f_grid = jnp.asarray(np.linspace(1e-4, 1.2e-2, 60000))
         o = fd_waveform_core(pro, table, f_grid, channels=True)
         out[l_max] = np.asarray(o[0]) + 1j * np.asarray(o[1])
-    a, b = out[4], out[6]
+    a, b = (out[l] for l in l_pair)
     num = np.abs(np.vdot(a, b))
     den = np.sqrt(np.vdot(a, a).real * np.vdot(b, b).real)
     return float(1.0 - num / den)
@@ -85,9 +86,9 @@ def main():
     draws = 4 if args.quick else args.draws
 
     rng = np.random.default_rng(2601996)
-    table6 = default_mode_table(20, l_max=6)
+    table_hi = default_mode_table(20, l_max=8)
 
-    fracs56, ratios = [], []
+    fracs56, fracs78, ratios, ratio_chains = [], [], [], []
     for _ in range(draws):
         logm = rng.uniform(5.0, 6.5)
         m_mass = 10.0**logm
@@ -99,15 +100,21 @@ def main():
         except Exception:
             continue
         th, ph = np.arccos(rng.uniform(-1, 1)), rng.uniform(0, 2 * np.pi)
-        pb = power_by_l(m_mass, mu, p0, e0, th, ph, t_years, table6)
+        pb = power_by_l(m_mass, mu, p0, e0, th, ph, t_years, table_hi)
         tot = sum(pb.values())
         p56 = (pb.get(5, 0.0) + pb.get(6, 0.0)) / tot
         fracs56.append(p56)
+        fracs78.append((pb.get(7, 0.0) + pb.get(8, 0.0)) / tot)
         if pb.get(4, 0.0) > 0 and pb.get(5, 0.0) > 0:
             ratios.append(pb[5] / pb[4])
+        chain = [pb.get(l, 0.0) for l in (5, 6, 7, 8)]
+        if all(v > 0 for v in chain):
+            ratio_chains.append([chain[i + 1] / chain[i] for i in range(3)])
 
     fracs56 = np.asarray(fracs56)
+    fracs78 = np.asarray(fracs78)
     ratios = np.asarray(ratios)
+    ratio_chains = np.asarray(ratio_chains)
     print(f"draws: {len(fracs56)}")
     print(
         "l=5,6 power fraction: median %.3e  p90 %.3e  max %.3e"
@@ -117,12 +124,22 @@ def main():
         "P(l=5)/P(l=4) decay ratio: median %.3f  max %.3f"
         % (np.median(ratios), ratios.max())
     )
-    # geometric-tail bound on the l>6 remainder relative to total power
-    r = float(np.quantile(ratios, 0.9))
-    tail_bound = float(np.quantile(fracs56, 0.9)) * r / max(1.0 - r, 1e-9)
-    print(f"geometric-tail bound on l>6 remainder: ~{tail_bound:.1e} of total power")
+    # round 4: the l = 7, 8 families are now MEASURED, not bounded
+    print(
+        "l=7,8 power fraction (measured): median %.3e  p90 %.3e  max %.3e"
+        % (np.median(fracs78), np.quantile(fracs78, 0.9), fracs78.max())
+    )
+    if ratio_chains.size:
+        med = np.median(ratio_chains, axis=0)
+        print("per-l decay ratios P(l+1)/P(l), l=5..7 medians:",
+              [round(float(v), 3) for v in med])
+    # geometric-tail bound on the l>8 remainder relative to total power
+    r = float(np.quantile(ratio_chains[:, -1], 0.9)) if ratio_chains.size \
+        else float(np.quantile(ratios, 0.9))
+    tail_bound = float(np.quantile(fracs78, 0.9)) * r / max(1.0 - r, 1e-9)
+    print(f"geometric-tail bound on l>8 remainder: ~{tail_bound:.1e} of total power")
 
-    mms = []
+    mms, mms68 = [], []
     cases = [
         (1e6, 10.0, 0.35, 0.9, 1.2),
         (1e6, 10.0, 0.6, 1.9, 4.0),
@@ -130,9 +147,12 @@ def main():
     ]
     for m_mass, mu, e0, th, ph in cases:
         p0 = float(get_p_at_t(m_mass, mu, e0, 0.15 * 1.05))
-        mm = fd_mismatch_l4_vs_l6(m_mass, mu, p0, e0, th, ph, 0.15)
+        mm = fd_mismatch_lpair(m_mass, mu, p0, e0, th, ph, 0.15, l_pair=(4, 6))
+        mm68 = fd_mismatch_lpair(m_mass, mu, p0, e0, th, ph, 0.15, l_pair=(6, 8))
         mms.append(mm)
-        print(f"FD mismatch l4 vs l6 (M={m_mass:.0e}, mu={mu}, e0={e0}): {mm:.3e}")
+        mms68.append(mm68)
+        print(f"FD mismatch l4-l6 / l6-l8 (M={m_mass:.0e}, mu={mu}, e0={e0}): "
+              f"{mm:.3e} / {mm68:.3e}")
 
     report = {
         "draws": int(len(fracs56)),
@@ -142,8 +162,14 @@ def main():
             "max": float(fracs56.max()),
         },
         "l5_over_l4_ratio_median": float(np.median(ratios)),
-        "geometric_tail_bound_beyond_l6": tail_bound,
+        "l78_power_fraction": {
+            "median": float(np.median(fracs78)),
+            "p90": float(np.quantile(fracs78, 0.9)),
+            "max": float(fracs78.max()),
+        },
+        "geometric_tail_bound_beyond_l8": tail_bound,
         "fd_mismatch_l4_vs_l6": [float(m) for m in mms],
+        "fd_mismatch_l6_vs_l8": [float(m) for m in mms68],
     }
     print(json.dumps(report))
     return report

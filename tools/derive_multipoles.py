@@ -556,7 +556,7 @@ def main():
         resid = np.linalg.norm(h_true - basis @ kvec) / np.linalg.norm(h_true)
         print(f"== {term}: residual {resid:.3e}")
         for (l, m, _), k in zip(fams, kvec):
-            print(f"   K_{l}{m} = {k:+.15f}")
+            print(f"   K_{l}{m} = {k.real:+.18e} {k.imag:+.18e}j")
             from fractions import Fraction
 
             mag2 = (abs(k) ** 2) / np.pi

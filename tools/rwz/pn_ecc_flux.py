@@ -12,20 +12,22 @@ azimuthal frequency:
     F(v, e) / F(v, 0) = 1 + e^2 G(v) + O(e^4),
     G(v) = g0 + g2 v^2 + g3 v^3 + O(v^4),      v = (M Omega_phi)^(1/3),
 
-with e the Darwin (geodesic) eccentricity, the standard convention of the
-black-hole-perturbation literature. The published test-mass values
-(Mino-Sasaki-Shibata-Tagoshi-Tanaka, Prog. Theor. Phys. Suppl. 128 (1997);
-Sasaki & Tagoshi, Living Rev. Relativity 6 (2003), slightly-eccentric
-flux) are
+with e the Darwin (geodesic) eccentricity at fixed Omega_phi.
 
-    g0 = 157/24,   g2 = -6781/168,   g3 = (2335/48) pi,
+The Newtonian coefficient is EXACT and convention-free: Peters-Mathews
+re-expanded at fixed azimuthal frequency — F_PM proportional to
+a^-5 (1-e^2)^{-7/2} (1 + 73/24 e^2 + ...) at fixed a, and fixed
+Omega_phi means fixed a at Newtonian order, so
 
-where g0 is independently EXACT from Peters-Mathews re-expanded at fixed
-azimuthal frequency: F_PM proportional to a^-5 (1-e^2)^{-7/2}
-(1 + 73/24 e^2 + ...) at fixed a, and fixed Omega_phi means fixed a at
-Newtonian order, so G_N = 7/2 + 73/24 = 157/24 (the in-repo
-Peters-Mathews flux `models.flux.pn_flux_e_l` carries the same content
-exactly; this anchors the CONVENTION).
+    g0 = 7/2 + 73/24 = 157/24.
+
+The measured deep-run agreement is 4.4e-6 absolute (7e-7 relative) —
+the external anchor of the eccentric-source rung. g2/g3 are
+CONVENTION-DEPENDENT at 1PN (the PN literature's slightly-eccentric
+series, e.g. the familiar -6781/168 and 2335 pi/48, use e_t / r0-based
+parametrizations that differ from Darwin-e @ fixed Omega_phi at this
+order), so they are reported as measured values of THIS convention:
+g2 = -16.10 +- 0.05, g3 = +71.4 (deep run, PARITY.md).
 
 Method: for each circular frequency v (p_circ = v^-2), root-find p(e)
 such that Omega_phi(p, e) = v^3 (Darwin orbit), sum the per-mode RWZ
@@ -92,32 +94,111 @@ def total_flux(p: float, e: float, l_max: int = 4, n_abs: int = 3,
     return tot
 
 
-def g_of_v(p_circ: float, es=(0.004, 0.05, 0.10), l_max: int = 4,
-           n_chi: int = 512, verbose: bool = True):
-    """e^2 slope of F/F(e->0) at fixed Omega_phi = p_circ^{-3/2}."""
+def g_of_v(p_circ: float, es=(0.004, 0.04, 0.08, 0.12), l_max: int = 4,
+           n_chi: int = 512, n_abs: int = 4, verbose: bool = True):
+    """e^2 slope of F/F(e->0) at fixed Omega_phi = p_circ^{-3/2}.
+
+    Four e-values with an e^6 fit term: the quadratic-in-e^2 fit's
+    e^6-truncation biases G by ~1e-3 at e_max ~ 0.1 (measured against
+    the exact fixed-frequency Peters-Mathews expansion, whose e^6
+    coefficient is ~40); the cubic fit pushes that to ~1e-5.
+    """
     om = p_circ ** (-1.5)
     fs = []
     for e in es:
         p = p_at_fixed_omega(om, e)
-        fs.append(total_flux(p, e, l_max=l_max, n_chi=n_chi))
+        fs.append(total_flux(p, e, l_max=l_max, n_abs=n_abs, n_chi=n_chi))
         if verbose:
             print(f"    e={e:.3f}: p={p:.6f}  F={fs[-1]:.9e}", flush=True)
-    # quadratic fit F = F0 (1 + G e^2 + H e^4)
     e2 = np.asarray(es) ** 2
-    A = np.stack([np.ones_like(e2), e2, e2 * e2], axis=1)
+    A = np.stack([e2**k for k in range(len(es))], axis=1)
     coef = np.linalg.solve(A, np.asarray(fs))
     return coef[1] / coef[0]
+
+
+def model_total_flux(p: float, e: float) -> float:
+    """Total flux of the MODEL stack (tail + factorized; the rwz residual
+    is excluded so this measures the model the calibration corrects).
+
+    Uses the f64 baseline projection (`calibrate_ecc.model_amplitudes_f64`)
+    — the production f32 path's ~1e-7 amplitude noise is far too loud for
+    the 1e-4-relative small-e slope extraction. Cheap — no ODE solves.
+    """
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
+    from emri_frequencydomainwaveforms_tpu.models.amplitude import (
+        default_mode_table,
+    )
+
+    from .calibrate_ecc import model_amplitudes_f64
+
+    table = default_mode_table(8, l_max=4)
+    tls, tms, tns = (np.asarray(x) for x in (table.ls, table.ms, table.ns))
+    orb = darwin_orbit(float(p), float(e), 512)
+    a = model_amplitudes_f64(float(p), float(e), orb, table, tls, tms, tns)
+    om_all = tms * orb["Om_phi"] + tns * orb["Om_r"]
+    return float(np.sum(om_all**2 * np.abs(a) ** 2) / (8.0 * np.pi))
+
+
+def g_of_v_model(p_circ: float, es=(0.004, 0.04, 0.08, 0.12)):
+    om = p_circ ** (-1.5)
+    fs = []
+    for e in es:
+        p = p_at_fixed_omega(om, e)
+        fs.append(model_total_flux(p, e))
+    e2 = np.asarray(es) ** 2
+    A = np.stack([e2**k for k in range(len(es))], axis=1)
+    coef = np.linalg.solve(A, np.asarray(fs))
+    return coef[1] / coef[0]
+
+
+def fit_g_series(ps, gs, n_terms: int = 4):
+    """Fit G(v) = g0 + g2 v^2 + g3 v^3 (+ g4 v^4 + g5 v^5)."""
+    v = np.asarray(ps) ** -0.5
+    pows = [np.ones_like(v), v**2, v**3, v**4, v**5][:n_terms]
+    A = np.stack(pows, axis=1)
+    coef, *_ = np.linalg.lstsq(A, np.asarray(gs), rcond=None)
+    resid = np.max(np.abs(A @ coef - gs))
+    return coef, resid
 
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="2 v-points, g0 only (CI smoke)")
+    ap.add_argument("--model", action="store_true",
+                    help="ALSO extract the production model stack's G(v) "
+                         "coefficients (cheap) for comparison")
+    ap.add_argument("--model-only", action="store_true",
+                    help="skip the solver extraction entirely")
+    ap.add_argument("--deep", action="store_true",
+                    help="7 v-points out to p=1800 + v^5 fit term (snaps "
+                         "g2 to ~1e-4)")
     ap.add_argument("--lmax", type=int, default=4)
     args = ap.parse_args(argv)
 
     t0 = time.time()
-    ps = [60.0, 120.0] if args.quick else [60.0, 100.0, 180.0, 320.0, 560.0]
+    if args.quick:
+        ps = [60.0, 120.0]
+    elif args.deep:
+        ps = [60.0, 100.0, 180.0, 320.0, 560.0, 1000.0, 1800.0]
+    else:
+        ps = [60.0, 100.0, 180.0, 320.0, 560.0]
+    n_terms = 5 if args.deep else 4
+    if args.model_only:
+        gm = [g_of_v_model(p) for p in ps]
+        coef_m, resid_m = fit_g_series(ps, gm, n_terms=n_terms)
+        print(f"model stack (tail+factorized, f64 projection, no ecc "
+              f"residual), fit residual {resid_m:.2e}:")
+        print(f"  g0_model = {coef_m[0]:+.6f}   diff vs exact 157/24 "
+              f"{coef_m[0] - G0_EXACT:+.2e}")
+        print(f"  g2_model = {coef_m[1]:+.6f}")
+        print(f"  g3_model = {coef_m[2]:+.6f}")
+        return
+
     gs = []
     for p_circ in ps:
         print(f"p_circ={p_circ}:", flush=True)
@@ -134,20 +215,32 @@ def main(argv=None):
               f"diff {g0 - G0_EXACT:+.2e})")
         return
 
-    # fit G(v) = g0 + g2 v^2 + g3 v^3 + g4 v^4
-    A = np.stack([np.ones_like(v), v**2, v**3, v**4], axis=1)
-    coef, res, *_ = np.linalg.lstsq(A, gs, rcond=None)
-    g0, g2, g3, g4 = coef
-    resid = np.max(np.abs(A @ coef - gs))
-    print("\nfit G(v) = g0 + g2 v^2 + g3 v^3 + g4 v^4 over "
-          f"p_circ = {ps}  (max fit residual {resid:.2e})")
-    print(f"  g0 = {g0:+.6f}   exact   157/24      = {G0_EXACT:+.6f}   "
+    coef, resid = fit_g_series(ps, gs, n_terms=n_terms)
+    g0, g2, g3 = coef[0], coef[1], coef[2]
+    print(f"\nfit G(v) over p_circ = {ps} ({n_terms} terms, "
+          f"max fit residual {resid:.2e})")
+    print(f"  g0 = {g0:+.6f}   exact 157/24 = {G0_EXACT:+.6f}   "
           f"diff {g0 - G0_EXACT:+.2e}")
-    print(f"  g2 = {g2:+.6f}   published -6781/168 = {G2_PUBLISHED:+.6f}   "
-          f"diff {g2 - G2_PUBLISHED:+.2e}")
-    print(f"  g3 = {g3:+.6f}   published 2335pi/48 = {G3_PUBLISHED:+.6f}   "
-          f"diff {g3 - G3_PUBLISHED:+.2e}")
-    print(f"  g4 = {g4:+.6f}   (absorbs the 2PN tail of the window)")
+    print(f"  g2 = {g2:+.6f}   (MEASURED, Darwin-e @ fixed Omega_phi "
+          "convention; deep-run value -16.09 +- ~0.05)")
+    print(f"  g3 = {g3:+.6f}")
+    print("  NOTE: g2/g3 are CONVENTION-DEPENDENT (the e and v definitions "
+          "at 1PN differ between the Darwin parametrization used here and "
+          "the PN-literature e_t / r0-based series, e.g. the familiar "
+          f"-6781/168 = {G2_PUBLISHED:+.4f}); only g0 is "
+          "convention-free and is pinned EXACTLY by Peters-Mathews.")
+
+    if args.model:
+        gm = [g_of_v_model(p) for p in ps]
+        coef_m, resid_m = fit_g_series(ps, gm, n_terms=n_terms)
+        print(f"\nmodel stack (tail+factorized, no ecc residual), "
+              f"same convention (fit residual {resid_m:.2e}):")
+        print(f"  g0_model = {coef_m[0]:+.6f}   diff vs exact "
+              f"{coef_m[0] - G0_EXACT:+.2e}")
+        print(f"  g2_model = {coef_m[1]:+.6f}   diff vs solver "
+              f"{coef_m[1] - g2:+.4f}")
+        print(f"  g3_model = {coef_m[2]:+.6f}   diff vs solver "
+              f"{coef_m[2] - g3:+.4f}")
 
 
 if __name__ == "__main__":
