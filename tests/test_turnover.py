@@ -324,3 +324,41 @@ class TestBandedTurnover:
             b, g = np.asarray(b), np.asarray(g)
             scale = np.sqrt(np.mean(b**2)) + 1e-300
             assert np.sqrt(np.mean((b - g) ** 2)) / scale < 1e-5
+
+    def test_chirp_agreement_rwz_physics(self):
+        # round 4: the same banded/general equivalence with the FULL
+        # calibrated amplitude stack (tail + factorized + rwz), whose
+        # per-mode omega-dependent complex rotations exercise the kernels'
+        # envelope-phase paths. On CPU (exact f64 arithmetic) the kernels
+        # are algorithmically equivalent at the interpolation-error level;
+        # the on-TPU bench gate uses a looser 1e-3 threshold because the
+        # two kernels' INDEPENDENT f32 phase-pipeline rounding decorrelates
+        # under these per-mode rotations (bench.py gate-1 comment).
+        from emri_frequencydomainwaveforms_tpu.models.summation_fd import (
+            fd_mode_sum_uniform,
+        )
+
+        table = default_mode_table(30)
+        pro = waveform_prologue(
+            1e6, 50.0, 10.0, 0.4, 0.7, 0.5, 1.0, 1.0, 2.0,
+            t_years=0.05, table=table, k_max=16, eps=1e-2,
+            flux="multipole_rwz", tail=True, factorized=True, rwz=True,
+        )
+        sig = _sigma(table)
+        ypr, ypi = pro.y_plus
+        ymr, ymi = pro.y_minus
+        inp = prepare_fd_inputs(
+            pro.t_knots, pro.n_live, pro.phi_phi, pro.phi_r,
+            pro.a_re, pro.a_im, table, pro.sel,
+            (sig * ymr, sig * ymi), (ypr, -ypi),
+        )
+        f0, df, nf = 1.7e-3, 2e-8, 60000
+        f = f0 + df * np.arange(nf)
+        banded = fd_mode_sum_uniform(
+            inp, f0, df, nf, bins_per_run=8, band_runs=4096, turnover_slots=2
+        )
+        general = fd_mode_sum(inp, jnp.asarray(f), turnover_slots=2)
+        for b, g in zip(banded, general):
+            b, g = np.asarray(b), np.asarray(g)
+            scale = np.sqrt(np.mean(b**2)) + 1e-300
+            assert np.sqrt(np.mean((b - g) ** 2)) / scale < 1e-4
