@@ -117,7 +117,8 @@ def run_check(args) -> dict:
         mu = float(np.exp(draw[0]) * np.exp(draw[1]))
         e0 = float(draw[2])
         try:
-            p0 = float(get_p_at_t(m_central, mu, e0, 0.99 * args.Tobs))
+            p0 = float(get_p_at_t(m_central, mu, e0, 0.99 * args.Tobs,
+                                  flux=args.flux))
             pars = [m_central, mu, 0.0, p0, e0, 1.0, 1.0,
                     np.pi / 4, np.pi / 3, np.pi / 5, np.pi / 6, 1.0, 0.0, 2.0]
             kw = dict(T=args.Tobs, dt=args.dt)

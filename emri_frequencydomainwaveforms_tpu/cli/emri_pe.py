@@ -115,7 +115,10 @@ def run_emri_pe(args) -> dict:
     t_years, dt = args.Tobs, args.dt
 
     # fix p0 so the inspiral lasts 0.99 Tobs (reference emri_pe.py:620-635)
-    p0 = float(get_p_at_t(args.M, args.mu, args.e0, 0.99 * t_years))
+    # duration solve through the SAME dissipation model the templates use
+    # (reference emri_pe.py:620-635: its solve runs its Teukolsky flux)
+    p0 = float(get_p_at_t(args.M, args.mu, args.e0, 0.99 * t_years,
+                          flux=getattr(args, "flux", "multipole_rwz")))
     print(f"p0 fixed by duration solve: {p0:.6f}")
 
     table = default_mode_table(30)
@@ -141,11 +144,13 @@ def run_emri_pe(args) -> dict:
         rwz=amp == "rwz",
     )
     if getattr(args, "freeze_selection", 1):
-        pro_inj = waveform_prologue(
+        # jitted even one-shot: eager op-by-op dispatch costs seconds per
+        # op over the remote-compile tunnel (bench.py learned the same)
+        pro_inj = jax.jit(lambda: waveform_prologue(
             args.M, args.mu, p0, args.e0, np.pi / 4, np.pi / 3, 1.0, 1.0, 2.0,
             t_years=t_years, table=table, k_max=kmax, eps=args.eps,
             max_steps=max_steps, **phys_kwargs,
-        )
+        ))()
         forced = np.asarray(pro_inj.sel.idx)
         table_t = table.take(forced)
         idx_t = np.arange(len(forced))
@@ -221,7 +226,7 @@ def run_emri_pe(args) -> dict:
     )
     inj14 = np.asarray(transform.both_transforms(jnp.asarray(truth[None]))[0])
     tic = time.perf_counter()
-    chans = template(jnp.asarray(inj14))
+    chans = jax.jit(template)(jnp.asarray(inj14))
     jax.block_until_ready(chans)
     print(f"fd injection time {time.perf_counter() - tic:.3f}s on {len(f_np)} bins")
     data = [np.asarray(c[0]) + 1j * np.asarray(c[1]) for c in chans]

@@ -175,18 +175,20 @@ class EMRIInspiral:
         )
 
 
-@partial(jax.jit, static_argnames=("max_steps", "t_cap_years"))
+@partial(jax.jit, static_argnames=("max_steps", "t_cap_years", "flux"))
 def inspiral_duration(
-    mass_1, mass_2, p0, e0, *, t_cap_years: float = 8.0, max_steps: int = 512
+    mass_1, mass_2, p0, e0, *, t_cap_years: float = 8.0, max_steps: int = 512,
+    flux: str = "pm",
 ) -> jax.Array:
     """Seconds until the separatrix cutoff (capped at t_cap_years)."""
     traj = schwarz_ecc_flux_inspiral(
-        mass_1, mass_2, p0, e0, t_years=t_cap_years, max_steps=max_steps
+        mass_1, mass_2, p0, e0, t_years=t_cap_years, max_steps=max_steps,
+        flux=flux,
     )
     return traj.t[jnp.maximum(traj.n - 1, 0)]
 
 
-@partial(jax.jit, static_argnames=("max_steps", "n_iters"))
+@partial(jax.jit, static_argnames=("max_steps", "n_iters", "flux"))
 def get_p_at_t(
     mass_1,
     mass_2,
@@ -197,6 +199,7 @@ def get_p_at_t(
     p_hi: float = 16.0,
     n_iters: int = 44,
     max_steps: int = 512,
+    flux: str = "pm",
 ) -> jax.Array:
     """p0 such that the inspiral lasts ``t_out_years`` (bisection).
 
@@ -215,7 +218,8 @@ def get_p_at_t(
         lo, hi = lohi
         mid = 0.5 * (lo + hi)
         dur = inspiral_duration(
-            mass_1, mass_2, mid, e0, t_cap_years=8.0, max_steps=max_steps
+            mass_1, mass_2, mid, e0, t_cap_years=8.0, max_steps=max_steps,
+            flux=flux,
         )
         too_long = dur >= t_target
         return (jnp.where(too_long, lo, mid), jnp.where(too_long, mid, hi))
