@@ -167,10 +167,13 @@ def main():
     )
 
     def make_wf(banded: bool):
-        def wf(params6):
-            p14 = np.asarray(
-                transform.both_transforms(jnp.asarray(params6)[None])
-            )[0]
+        import jax
+
+        # jitted: the Fisher stencil makes ~25 evaluations, and eager
+        # op-by-op dispatch over the remote-compile tunnel costs seconds
+        # PER OP (~2000 ops at rwz physics)
+        @jax.jit
+        def _core(p14):
             m, mu, _, p0_, e0_, _, dist_, qs, fs, _, _, pph0, _, pr0 = p14
             pro = waveform_prologue(
                 m, mu, p0_, e0_, qs, fs, dist_, pph0, pr0,
@@ -178,9 +181,11 @@ def main():
                 max_steps=args.max_steps, **phys_kwargs,
             )
             kw = dict(uniform=uniform) if banded else {}
-            hpr, hpi, hcr, hci = fd_waveform_core(
-                pro, table, f_arr, channels=True, **kw
-            )
+            return fd_waveform_core(pro, table, f_arr, channels=True, **kw)
+
+        def wf(params6):
+            p14 = transform.both_transforms(jnp.asarray(params6)[None])[0]
+            hpr, hpi, hcr, hci = _core(jnp.asarray(p14))
             return [
                 np.asarray(hpr) + 1j * np.asarray(hpi),
                 np.asarray(hcr) + 1j * np.asarray(hci),
