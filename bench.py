@@ -68,6 +68,17 @@ def _mismatch(a, b):
     return float(1.0 - num / den)
 
 
+def _stage(msg: str) -> None:
+    """Opt-in progress logging (BENCH_VERBOSE=1): the cold bench spends
+    ~15 min in remote compiles with no output, which reads as a hang."""
+    if os.environ.get("BENCH_VERBOSE"):
+        print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}",
+              file=sys.stderr, flush=True)
+
+
+_T0 = time.perf_counter()
+
+
 def main() -> None:
     import emri_frequencydomainwaveforms_tpu  # noqa: F401  (x64 config)
     import jax
@@ -120,6 +131,7 @@ def main() -> None:
             max_steps=MAX_STEPS, **PHYS_KW,
         )
     )()
+    _stage("mode-selection prologue done")
     forced_idx = np.asarray(pro_sel.sel.idx)
     # production fast path: the table is SLICED to the frozen selection so
     # the prologue evaluates amplitudes only for the kept modes (the
@@ -137,6 +149,7 @@ def main() -> None:
 
     # shared band windows from the same representative source
     pro0 = jax.jit(prologue)(12.0, 0.35, 0.7, 0.5)
+    _stage("representative prologue done")
     offsets_j = jnp.asarray(
         band_offsets_for(pro0, table_k, f0u, dfu, BINS_PER_RUN, BAND_RUNS)
     )
@@ -173,6 +186,7 @@ def main() -> None:
             max_steps=MAX_STEPS, **PHYS_KW,
         ).n_live)
     )(p0s, e0s)
+    _stage("gate 0 (step budget) done")
     checks["max_knots"] = int(jnp.max(n_live))
     ok_knots = checks["max_knots"] <= MAX_STEPS - 4
 
@@ -203,6 +217,7 @@ def main() -> None:
         return kept / jnp.sum(power)
 
     cov = np.asarray(coverage(p0s, e0s, ths, phs))
+    _stage("gate 1b (coverage) done")
     checks["min_mode_power_coverage"] = round(float(cov.min()), 6)
     ok_coverage = cov.min() >= 1.0 - 1.25 * EPS
 
@@ -218,6 +233,7 @@ def main() -> None:
         lambda pro: fd_waveform_core(pro, table_k, f_arr[jnp.asarray(sub)], channels=True)
     )(pro_l0)
 
+    _stage("gate 1 (banded vs general) waveforms done")
     checks["xcheck_bins"] = int(len(sub))
     xerr = 0.0
     for b_full, g_sub in zip(banded, general):
@@ -267,6 +283,7 @@ def main() -> None:
             turnover_slots=TURNOVER_SLOTS,
         )
     )(pro_pl)
+    _stage("gate 1c (plunge) waveforms done")
     xerr_pl = 0.0
     for b_full, g_sub in zip(banded_pl, general_pl):
         b_sub = np.asarray(b_full)[sub_pl]
@@ -287,6 +304,7 @@ def main() -> None:
     hp_fd_pos = np.asarray(banded[0]) + 1j * np.asarray(banded[1])
     hc_fd_pos = np.asarray(banded[2]) + 1j * np.asarray(banded[3])
     hp_fd, hc_fd = _assemble_channels(freq, hp_fd_pos, hc_fd_pos, True)
+    _stage("gate 2 (FD/TD) waveforms done")
     w = np.hanning(len(hp_td))
     fd_w = get_fd_windowed([hp_fd, hc_fd], w)
     td_w = get_fft_td_windowed([hp_td, hc_td], w, DT)
@@ -311,6 +329,7 @@ def main() -> None:
 
     s, nbad = bench_loop(p0s, e0s, ths, phs)
     float(s)  # warmup + compile
+    _stage("timing loop compiled + warm")
     n_timed = 2
     t0 = time.perf_counter()
     for _ in range(n_timed):
