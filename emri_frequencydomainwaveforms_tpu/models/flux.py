@@ -196,15 +196,27 @@ def default_flux_grid(
     return build_flux_grid(tail=tail, factorized=factorized, rwz=rwz)
 
 
-def multipole_flux_e_l(p, e, grid: FluxGrid | None = None):
-    """(Edot, Ldot)/nu by bicubic interpolation of the multipole-flux grid."""
-    from ..ops.interp2d import interp2d_bicubic
+def multipole_flux_e_l(p, e, grid: FluxGrid | None = None, dense: bool = True):
+    """(Edot, Ldot)/nu by bicubic interpolation of the multipole-flux grid.
+
+    ``dense=True`` (default) evaluates the identical Catmull-Rom surface via
+    gather-free cardinal-weight contractions (`interp2d_bicubic_dense`) —
+    the f64 dense-cardinal flux of PERF_CEILING.md's round-4 addendum: the
+    per-step 4x4-stencil gathers inside the sequential DP5 while_loop were
+    the dominant rwz-physics cost. Same stencil, same clamps, same weights;
+    differences are reduction-order ULPs at f64, far below the stepper's
+    error-control and kernel cross-check budgets (the f32 dense variant and
+    the Chebyshev refit were the measured failures, not dense evaluation
+    per se).
+    """
+    from ..ops.interp2d import interp2d_bicubic, interp2d_bicubic_dense
     from .amplitude_backends import u_of_pe
 
     if grid is None:
         grid = default_flux_grid()
     u = u_of_pe(p, e)
-    out = interp2d_bicubic(
+    fn = interp2d_bicubic_dense if dense else interp2d_bicubic
+    out = fn(
         grid.u0, grid.du, grid.e0, grid.de,
         # stage the numpy-cached table into the active trace as a fresh
         # constant (grid.values stays numpy in the lru cache; see

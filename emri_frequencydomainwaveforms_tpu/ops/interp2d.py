@@ -62,4 +62,56 @@ def interp2d_bicubic(
     return out
 
 
-__all__ = ["interp2d_bicubic"]
+def interp2d_bicubic_dense(
+    x0: float,
+    dx: float,
+    y0: float,
+    dy: float,
+    values: jax.Array,  # (nx, ny, ...) grid data
+    xq: jax.Array,
+    yq: jax.Array,
+) -> jax.Array:
+    """Gather-free evaluation of the SAME Catmull-Rom bicubic surface.
+
+    Mathematically identical to :func:`interp2d_bicubic` (same stencil
+    indices, same clamps, same CR weights — differences are reduction-order
+    ULPs only): the 4-point stencil weights are scattered into dense
+    cardinal weight vectors over the full grid axes and contracted against
+    the table with einsums. On TPU this trades 16 random gathers per query
+    (~85 M gathers/s on this backend) for two small dense contractions that
+    XLA fuses/tiles — the round-4 profile showed the per-step flux gathers
+    inside the sequential DP5 while_loop were the dominant rwz-physics cost
+    (PERF_CEILING.md round-4 addendum). Stays in the table dtype (f64 for
+    the flux grid: the adaptive stepper differentiates the flux twice
+    through the phase splines; an f32 dense variant was a measured failure).
+    """
+    nx, ny = values.shape[0], values.shape[1]
+    fx = (jnp.asarray(xq) - x0) / dx
+    fy = (jnp.asarray(yq) - y0) / dy
+    ix = jnp.clip(jnp.floor(fx).astype(jnp.int32), 1, nx - 3)
+    iy = jnp.clip(jnp.floor(fy).astype(jnp.int32), 1, ny - 3)
+    tx = jnp.clip(fx - ix, -1.0, 2.0)
+    ty = jnp.clip(fy - iy, -1.0, 2.0)
+
+    dt = values.dtype
+    wx = jnp.stack(_cr_weights(tx), axis=-1).astype(dt)  # (..., 4)
+    wy = jnp.stack(_cr_weights(ty), axis=-1).astype(dt)  # (..., 4)
+    offs = jnp.arange(-1, 3, dtype=jnp.int32)
+    # dense cardinal vectors: wvx[..., k] = sum_a wx[..., a] * [k == ix+a-1]
+    # (exact zeros off-stencil, so the contraction reproduces the stencil
+    # sum up to reduction order)
+    kx = jnp.arange(nx, dtype=jnp.int32)
+    ky = jnp.arange(ny, dtype=jnp.int32)
+    selx = (ix[..., None] + offs)[..., :, None] == kx  # (..., 4, nx)
+    sely = (iy[..., None] + offs)[..., :, None] == ky  # (..., 4, ny)
+    wvx = jnp.sum(jnp.where(selx, wx[..., :, None], jnp.zeros((), dt)), axis=-2)
+    wvy = jnp.sum(jnp.where(sely, wy[..., :, None], jnp.zeros((), dt)), axis=-2)
+
+    vflat = values.reshape(nx, ny, -1)
+    # y-inner like the gather path, then x — two dense contractions
+    tmp = jnp.einsum("...l,klc->...kc", wvy, vflat)
+    out = jnp.einsum("...k,...kc->...c", wvx, tmp)
+    return out.reshape(out.shape[:-1] + values.shape[2:])
+
+
+__all__ = ["interp2d_bicubic", "interp2d_bicubic_dense"]
