@@ -196,18 +196,22 @@ def default_flux_grid(
     return build_flux_grid(tail=tail, factorized=factorized, rwz=rwz)
 
 
-def multipole_flux_e_l(p, e, grid: FluxGrid | None = None, dense: bool = True):
+def multipole_flux_e_l(p, e, grid: FluxGrid | None = None, dense: bool = False):
     """(Edot, Ldot)/nu by bicubic interpolation of the multipole-flux grid.
 
-    ``dense=True`` (default) evaluates the identical Catmull-Rom surface via
-    gather-free cardinal-weight contractions (`interp2d_bicubic_dense`) —
-    the f64 dense-cardinal flux of PERF_CEILING.md's round-4 addendum: the
-    per-step 4x4-stencil gathers inside the sequential DP5 while_loop were
-    the dominant rwz-physics cost. Same stencil, same clamps, same weights;
-    differences are reduction-order ULPs at f64, far below the stepper's
-    error-control and kernel cross-check budgets (the f32 dense variant and
-    the Chebyshev refit were the measured failures, not dense evaluation
-    per se).
+    ``dense=False`` (default) uses the 4x4-stencil gather path. The
+    ``dense=True`` alternative (`interp2d_bicubic_dense`) evaluates the
+    identical Catmull-Rom surface via gather-free cardinal contractions —
+    mathematically the same to reduction-order ULPs (pinned by
+    ``tests/test_interp2d_dense.py``) — but it was a MEASURED 22% whole-
+    bench regression as the production default (1014 vs 1306 wf/s, round-4
+    verdict): inside the sequential DP5 ``while_loop`` the per-step query
+    batch is tiny (one (p, e) per trajectory lane), so contracting dense
+    cardinal vectors against the full (96, 49) grid is latency-bound in
+    exactly the spot the 16 stencil gathers were. Dense wins only for
+    large query batches against small tables (the rwz-calibration pattern,
+    `models/rwz_calibration.py`); it loses for small batches against this
+    table. Keep the gather default unless a whole-bench run says otherwise.
     """
     from ..ops.interp2d import interp2d_bicubic, interp2d_bicubic_dense
     from .amplitude_backends import u_of_pe

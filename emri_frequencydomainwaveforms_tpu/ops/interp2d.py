@@ -75,15 +75,20 @@ def interp2d_bicubic_dense(
 
     Mathematically identical to :func:`interp2d_bicubic` (same stencil
     indices, same clamps, same CR weights — differences are reduction-order
-    ULPs only): the 4-point stencil weights are scattered into dense
-    cardinal weight vectors over the full grid axes and contracted against
-    the table with einsums. On TPU this trades 16 random gathers per query
-    (~85 M gathers/s on this backend) for two small dense contractions that
-    XLA fuses/tiles — the round-4 profile showed the per-step flux gathers
-    inside the sequential DP5 while_loop were the dominant rwz-physics cost
-    (PERF_CEILING.md round-4 addendum). Stays in the table dtype (f64 for
-    the flux grid: the adaptive stepper differentiates the flux twice
-    through the phase splines; an f32 dense variant was a measured failure).
+    ULPs only; pinned by ``tests/test_interp2d_dense.py``): the 4-point
+    stencil weights are scattered into dense cardinal weight vectors over
+    the full grid axes and contracted against the table with einsums. On
+    TPU this trades 16 random gathers per query for two dense contractions.
+    Worth it ONLY when the query batch is large relative to the table (the
+    rwz-calibration pattern); for tiny per-step query batches against the
+    (96, 49) flux grid inside the sequential DP5 while_loop it is a
+    measured 22% whole-bench LOSS (round-4 verdict) — the contraction is
+    latency-bound exactly where the gathers were. Stays in the table dtype.
+
+    Non-finite grid entries are sanitized to 0 before the contraction:
+    unlike the gather path (which only ever touches the 4x4 stencil), the
+    dense einsum multiplies zero weights against the ENTIRE table, and
+    0 * nan = nan would poison every query.
     """
     nx, ny = values.shape[0], values.shape[1]
     fx = (jnp.asarray(xq) - x0) / dx
@@ -107,6 +112,7 @@ def interp2d_bicubic_dense(
     wvx = jnp.sum(jnp.where(selx, wx[..., :, None], jnp.zeros((), dt)), axis=-2)
     wvy = jnp.sum(jnp.where(sely, wy[..., :, None], jnp.zeros((), dt)), axis=-2)
 
+    values = jnp.where(jnp.isfinite(values), values, jnp.zeros((), dt))
     vflat = values.reshape(nx, ny, -1)
     # y-inner like the gather path, then x — two dense contractions
     tmp = jnp.einsum("...l,klc->...kc", wvy, vflat)

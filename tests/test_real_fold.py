@@ -142,8 +142,9 @@ def fold_case():
     nf = int(0.75 * B / df)
     idx = np.linspace(0.1 * B / df, 0.52 * B / df, 12).astype(int)
     fs = f0 + idx * df
+    _trapz = getattr(np, "trapezoid", None) or np.trapz  # numpy<2 fallback
     bv = np.array(
-        [np.trapezoid(ag * np.exp(1j * (phig - 2 * np.pi * f * tg)), dx=dt) for f in fs]
+        [_trapz(ag * np.exp(1j * (phig - 2 * np.pi * f * tg)), dx=dt) for f in fs]
     )
     scale = np.sqrt(np.mean(np.abs(bv) ** 2))
     return dict(sm=sm, fs=fs, bv=bv, scale=scale, f0=f0, df=df, nf=nf, idx=idx)
