@@ -453,8 +453,7 @@ def fd_mode_sum(
         d_lo = -_TWO_PI * t_node_l * df_n
         d_hi = -_TWO_PI * t_hi * df_n
         dpsi = psi_hi - psi_n
-        p0_full = psi_n
-        p0 = p0_full - _TWO_PI * jnp.round(p0_full * (1.0 / _TWO_PI))
+        p0_full = psi_n  # unreduced; the f64 dense Horner reduces at the end
         p1 = d_lo
         p2 = 3.0 * dpsi - 2.0 * d_lo - d_hi
         p3 = -2.0 * dpsi + d_lo + d_hi
@@ -462,14 +461,12 @@ def fd_mode_sum(
         e_re_hi = jnp.roll(e_re, -1)
         e_im_hi = jnp.roll(e_im, -1)
 
-        # cast the dense-path tables to f32
-        p0_32, p1_32 = p0.astype(f32), p1.astype(f32)
-        p2_32, p3_32 = p2.astype(f32), p3.astype(f32)
+        # envelope dense-path tables in f32; the PHASE cubic stays f64
+        # (see below)
         er0_32 = e_re.astype(f32)
         der_32 = (e_re_hi - e_re).astype(f32)
         ei0_32 = e_im.astype(f32)
         dei_32 = (e_im_hi - e_im).astype(f32)
-        inv_df_32 = inv_df.astype(f32)
 
         in_range = (f_pos >= f_start) & (f_pos <= f_end)
 
@@ -481,11 +478,21 @@ def fd_mode_sum(
         j = jnp.clip(j, 0, n_nodes - 2)
 
         f_lo_b = jnp.take(f_lo, j)  # f64 gather — bin offset needs f64
-        xi = ((f_pos - f_lo_b) * jnp.take(inv_df_32, j).astype(f_pos.dtype)).astype(f32)
+        xi64 = (f_pos - f_lo_b) * jnp.take(inv_df, j)  # f64: xi rounding
+        xi = xi64.astype(f32)       # multiplies ~300-rad phase slopes
 
-        psi32 = jnp.take(p0_32, j) + xi * (
-            jnp.take(p1_32, j) + xi * (jnp.take(p2_32, j) + xi * jnp.take(p3_32, j))
+        # f64 phase Horner (round 5): the Hermite coefficients reach
+        # hundreds of radians (p1 = -2 pi t df_n), so an f32 Horner carries
+        # ~1e-4 rad of rounding — the measured driver of the TPU-side
+        # banded/general cross-check noise (round-4 gate at 1e-3). This
+        # kernel runs on gate/Fisher-sized subsets (the banded kernel is
+        # the scored hot path, with its own exact integer-cycle fix), so
+        # the emulated-f64 cost here is off the scored path; mod-reduce
+        # once at the end, sin/cos stay f32.
+        psi64 = jnp.take(p0_full, j) + xi64 * (
+            jnp.take(p1, j) + xi64 * (jnp.take(p2, j) + xi64 * jnp.take(p3, j))
         )
+        psi32 = (psi64 - _TWO_PI * jnp.round(psi64 * (1.0 / _TWO_PI))).astype(f32)
         c_psi = jnp.cos(psi32)
         s_psi = jnp.sin(psi32)
         er_b = jnp.take(er0_32, j) + xi * jnp.take(der_32, j)
@@ -719,15 +726,18 @@ def fd_mode_sum_uniform(
     if slot_unroll is None:
         slot_unroll = band_runs is not None and g_band < g_total
 
+    # exact integer-cycle phase needs the bins on a power-of-two lattice
+    cyc = (r & (r - 1)) == 0
+
     def scan_slots(carry, cphi_s, ar_s, ai_s, fk_s, klo_s, khi_s, dirn_s,
                    live_s, w_s, g0_s, g_band_s, n_nodes_s):
-        pc, ec, f_start_all, f_end_all = _level1_uniform_tables(
+        pc, nc, ec, f_start_all, f_end_all = _level1_uniform_tables(
             cphi_s, ar_s, ai_s, fk_s, g0_s, klo_s, khi_s, dirn_s,
-            t_knots, f0, df, r, n_nodes_s, run_df,
+            t_knots, f0, df, r, n_nodes_s, run_df, cycle_split=cyc,
         )
 
-        xs = (pc, ec, f_start_all, f_end_all, w_s[0], w_s[1], w_s[2], w_s[3],
-              live_s, g0_s)
+        xs = (pc, nc, ec, f_start_all, f_end_all, w_s[0], w_s[1], w_s[2],
+              w_s[3], live_s, g0_s)
 
         if slot_unroll:
             for s in range(pc.shape[0]):
@@ -773,15 +783,15 @@ def fd_mode_sum_uniform(
         # few extra slots: UNROLLED accumulation (a second lax.scan forces
         # copies of the 4 x pad_len f32 carry between loop bodies — measured
         # ~10% of the whole waveform on v5e; the unrolled form fuses)
-        pc_x, ec_x, fst_x, fen_x = _level1_uniform_tables(
+        pc_x, nc_x, ec_x, fst_x, fen_x = _level1_uniform_tables(
             ex[0], ex[1], ex[2], ex[3], g0_x, ex[4], ex[5], ex[6],
-            t_knots, f0, df, r, g_band_x + 1, run_df,
+            t_knots, f0, df, r, g_band_x + 1, run_df, cycle_split=cyc,
         )
         o1r, o1i, o2r, o2i = carry
         for s in range(pc_x.shape[0]):
             (o1r, o1i, o2r, o2i), _ = _dense_slot_accumulate(
                 (o1r, o1i, o2r, o2i),
-                (pc_x[s], ec_x[s], fst_x[s], fen_x[s],
+                (pc_x[s], nc_x[s], ec_x[s], fst_x[s], fen_x[s],
                  ex_w[0][s], ex_w[1][s], ex_w[2][s], ex_w[3][s],
                  ex[7][s], g0_x[s]),
                 f0, df, r, run_df, g_band_x, f_pos_dtype,
@@ -813,11 +823,29 @@ def _dense_slot_accumulate(carry, mode, f0, df, r, run_df, g_band_s, f_pos_dtype
     """
     f32 = jnp.float32
     o1r, o1i, o2r, o2i = carry
-    (pc_i, ec_i, f_start, f_end, w1r, w1i, w2r, w2i, live_i, g0) = mode
+    (pc_i, nc_i, ec_i, f_start, f_end, w1r, w1i, w2r, w2i, live_i, g0) = mode
 
     xi = ((jnp.arange(r, dtype=f32)) * f32(1.0 / r))[None, :]  # (1, r)
     p0, p1, p2, p3 = pc_i[:, 0:1], pc_i[:, 1:2], pc_i[:, 2:3], pc_i[:, 3:4]
     psi_d = p0 + xi * (p1 + xi * (p2 + xi * p3))
+    if nc_i is not None:
+        # exact integer-cycle phase (see _level1_uniform_tables): bins sit
+        # at xi = b/r with r a power of two, so the 2pi-cycle part of the
+        # cubic reduces mod 2pi in EXACT int32 arithmetic —
+        #   cyc(b) = (n1 b r^2 + n2 b^2 r + n3 b^3) mod r^3
+        # evaluated as a Horner chain with a bitmask reduction after every
+        # step ((a b) mod M = ((a mod M) b) mod M; two's-complement AND
+        # with M-1 = r^3-1 IS mod M). Worst-case intermediates with
+        # |n| < 2^15, r <= 128: < 2^30 — no overflow.
+        mask = r * r * r - 1
+        b = jnp.arange(r, dtype=jnp.int32)[None, :]  # (1, r)
+        n1, n2, n3 = nc_i[:, 0:1], nc_i[:, 1:2], nc_i[:, 2:3]
+        u = jnp.bitwise_and(b * n3, mask)
+        u = jnp.bitwise_and(r * n2 + u, mask)
+        u = jnp.bitwise_and(b * u, mask)
+        u = jnp.bitwise_and(r * r * n1 + u, mask)
+        u = jnp.bitwise_and(b * u, mask)  # in [0, r^3)
+        psi_d = psi_d + u.astype(f32) * f32(_TWO_PI / (r * r * r))
     c_psi = jnp.cos(psi_d)
     s_psi = jnp.sin(psi_d)
     er0, er1, er2, er3 = ec_i[:, 0:1], ec_i[:, 1:2], ec_i[:, 2:3], ec_i[:, 3:4]
@@ -885,6 +913,7 @@ def _level1_uniform_tables(
     r: int,
     n_nodes: int,
     run_df: float,
+    cycle_split: bool = False,
 ):
     """Gather-free level-1 node evaluation for ALL slots at once.
 
@@ -903,8 +932,24 @@ def _level1_uniform_tables(
     precision (all this device's emulated f64 carries anyway).
 
     Returns per-run f32 tables for the dense pass: phase Hermite pc
-    (S, G, 4), envelope coefficients ec (S, G, 8), band limits f_start /
+    (S, G, 4), integer 2pi-cycle counts nc (S, G, 3) int32 (or None, see
+    below), envelope coefficients ec (S, G, 8), band limits f_start /
     f_end (S,) f64 (oriented: f_start < f_end always).
+
+    ``cycle_split=True`` (the banded production path, round 5): the
+    per-run phase coefficients p1..p3 reach hundreds of radians
+    (p1 = -2 pi t* run_df ~ 400 rad at 1 yr x 64-bin runs), so a plain
+    f32 dense Horner carries ~|p| * 2^-24 ~ 1e-4 rad of rounding — the
+    measured source of the rwz banded/general TPU disagreement (round-4
+    gate at 1e-3). Since the dense pass evaluates at EXACT lattice points
+    xi = b/r (b integer, r a power of two), each coefficient splits as
+    p_i = q_i + 2 pi n_i with n_i = round(p_i / 2 pi) int32 and
+    |q_i| <= pi: the integer part contributes
+    2 pi (n1 b r^2 + n2 b^2 r + n3 b^3) / r^3 mod 2 pi — EXACT int32
+    arithmetic in the dense pass — and the f32 polynomial keeps only
+    O(1)-rad coefficients (~2e-7 rad rounding). pc holds the residuals
+    q and nc the cycle counts. With ``cycle_split=False`` (Pallas path)
+    pc holds the raw f32 coefficients and nc is None.
     """
     f32 = jnp.float32
     k = t_knots.shape[0]
@@ -1112,9 +1157,51 @@ def _level1_uniform_tables(
     use_anc = anchored & ((xa > f32(1e-4)) | (xb < f32(1.0 - 1e-4)))
     p0_plain32 = (p0_plain - _TWO_PI * jnp.round(p0_plain * (1.0 / _TWO_PI))).astype(f32)
     p0c = jnp.where(use_anc, c0_anc, p0_plain32)
-    p1c = jnp.where(use_anc, c1_anc, p1_plain.astype(f32))
-    p2c = jnp.where(use_anc, c2_anc, p2_plain.astype(f32))
-    p3c = jnp.where(use_anc, c3_anc, p3_plain.astype(f32))
+    if cycle_split:
+        # exact integer-cycle split (see docstring). Plain intervals split
+        # in f64 (residual exact to ~2e-7 rad); anchored edge intervals
+        # split their f32 coefficients (no precision change — the anchored
+        # composition is f32 by design, its ~2e-4 rad tail is confined to
+        # the few band-edge intervals). Out-of-window garbage intervals
+        # (the linear f-ramps) can hold enormous-but-finite values: zero
+        # them (their bins are masked in the dense pass) so the int32
+        # cycle counts never overflow.
+        def split64(p):
+            ok = jnp.isfinite(p) & (jnp.abs(p) < 2.0e5)
+            n = jnp.where(ok, jnp.round(p * (1.0 / _TWO_PI)), 0.0)
+            q = jnp.where(ok, p - _TWO_PI * n, 0.0)
+            return q.astype(f32), n.astype(jnp.int32)
+
+        def split32(c):
+            ok = jnp.isfinite(c) & (jnp.abs(c) < f32(2.0e5))
+            n = jnp.where(ok, jnp.round(c * f32(1.0 / _TWO_PI)), f32(0.0))
+            q = jnp.where(ok, c - n * f32(_TWO_PI), f32(0.0))
+            return q, n.astype(jnp.int32)
+
+        q1p, n1p = split64(p1_plain)
+        q2p, n2p = split64(p2_plain)
+        q3p, n3p = split64(p3_plain)
+        q1a, n1a = split32(c1_anc)
+        q2a, n2a = split32(c2_anc)
+        q3a, n3a = split32(c3_anc)
+        p1c = jnp.where(use_anc, q1a, q1p)
+        p2c = jnp.where(use_anc, q2a, q2p)
+        p3c = jnp.where(use_anc, q3a, q3p)
+        nc = jnp.stack(
+            [
+                jnp.where(use_anc, n1a, n1p),
+                jnp.where(use_anc, n2a, n2p),
+                jnp.where(use_anc, n3a, n3p),
+            ],
+            axis=-1,
+        )  # (Mk, G, 3) int32
+    else:
+        p1c = jnp.where(use_anc, c1_anc, p1_plain.astype(f32))
+        p2c = jnp.where(use_anc, c2_anc, p2_plain.astype(f32))
+        p3c = jnp.where(use_anc, c3_anc, p3_plain.astype(f32))
+        # zero cycle counts: the dense pass's integer chain reduces to an
+        # exact +0 (keeps one code path / one scan signature)
+        nc = jnp.zeros(p1c.shape + (3,), jnp.int32)
 
     # Catmull-Rom envelope: cubic from values at g-1, g, g+1, g+2
     def cr_coeffs(v):
@@ -1160,7 +1247,7 @@ def _level1_uniform_tables(
     # dense kernel's keep-mask can't null NaN*0, so null them here
     pc = jnp.where(jnp.isfinite(pc), pc, 0.0)
     ec = jnp.where(jnp.isfinite(ec), ec, 0.0)
-    return pc, ec, f_start, f_end
+    return pc, nc, ec, f_start, f_end
 
 
 def fd_mode_sum_uniform_pallas(
@@ -1210,7 +1297,7 @@ def fd_mode_sum_uniform_pallas(
     g0_all = jnp.clip((g0_all // 128) * 128, 0, g_total)
 
     k_max = cphi_all.shape[0]
-    pc, ec, fst64, fen64 = _level1_uniform_tables(
+    pc, _nc, ec, fst64, fen64 = _level1_uniform_tables(
         cphi_all, inp.ar_c, inp.ai_c, f_knots_all, g0_all,
         inp.inc_lo, inp.inc_hi, jnp.ones((k_max,), jnp.int32),
         t_knots, f0, df, r, n_nodes, run_df,
@@ -1289,7 +1376,7 @@ def fd_mode_sum_uniform_pallas_batched(
             + inp.n_sel[:, None] * inp.f_r_knots[None, :]
         )
         k_max = cphi_all.shape[0]
-        pc, ec, fst64, fen64 = _level1_uniform_tables(
+        pc, _nc, ec, fst64, fen64 = _level1_uniform_tables(
             cphi_all, inp.ar_c, inp.ai_c, f_knots_all, g0_all,
             inp.inc_lo, inp.inc_hi, jnp.ones((k_max,), jnp.int32),
             inp.t_knots, f0, df, r, n_nodes, run_df,
