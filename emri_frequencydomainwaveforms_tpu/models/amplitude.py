@@ -134,6 +134,35 @@ _FAMILIES = {
     (8, 5): (5, 7, 1, 0.0, +5.012327120486e-07),
     (8, 3): (3, 7, 1, 0.0, -5.384103027786e-07),
     (8, 1): (1, 7, 1, 0.0, +5.544861311315e-07),
+    # l = 9 mass 2^9-pole (round 5; C = K (-i)^9 = -i K: K real ->
+    # C imaginary; Thorne coefficient 4/9! = 1/90720, fit residual 9e-10)
+    (9, 9): (9, 9, 0, 0.0, +2.512567346957e-08),
+    (9, 7): (7, 9, 0, 0.0, -1.828161275733e-08),
+    (9, 5): (5, 9, 0, 0.0, +1.635157155513e-08),
+    (9, 3): (3, 9, 0, 0.0, -1.549033288529e-08),
+    (9, 1): (1, 9, 0, 0.0, +1.513427644922e-08),
+    # l = 9 current 2^9-pole (coefficient 8*9/10! = 1/50400; K imaginary
+    # -> C = K_im real; fit residual 3e-9)
+    (9, 8): (8, 8, 1, +2.131984091075e-08, 0.0),
+    (9, 6): (6, 8, 1, -2.533174571240e-08, 0.0),
+    (9, 4): (4, 8, 1, +2.736141264720e-08, 0.0),
+    (9, 2): (2, 8, 1, -2.839421719954e-08, 0.0),
+    (9, 0): (0, 8, 1, +2.872401546235e-08, 0.0),
+    # l = 10 mass 2^10-pole (C = K (-i)^10 = -K; coefficient 4/10! =
+    # 1/907200, fit residual 5e-9)
+    (10, 10): (10, 10, 0, -1.201236950368e-09, 0.0),
+    (10, 8): (8, 10, 0, +8.714688780084e-10, 0.0),
+    (10, 6): (6, 10, 0, -7.765944547675e-10, 0.0),
+    (10, 4): (4, 10, 0, +7.321844397109e-10, 0.0),
+    (10, 2): (2, 10, 0, -7.108479184447e-10, 0.0),
+    (10, 0): (0, 10, 0, +7.005353442900e-10, 0.0),
+    # l = 10 current 2^10-pole (coefficient 8*10/11! = 1/498960; C =
+    # -i K_im; fit residual 1.4e-8)
+    (10, 9): (9, 9, 1, 0.0, +9.767445375104e-10),
+    (10, 7): (7, 9, 1, 0.0, -1.164356770166e-09),
+    (10, 5): (5, 9, 1, 0.0, +1.262922175499e-09),
+    (10, 3): (3, 9, 1, 0.0, -1.317858933793e-09),
+    (10, 1): (1, 9, 1, 0.0, +1.343086309739e-09),
 }
 _FAMILY_ORDER = list(_FAMILIES)
 
@@ -168,11 +197,17 @@ class ModeTable(NamedTuple):
         return ModeTable(ls=self.ls[idx], ms=self.ms[idx], ns=self.ns[idx])
 
 
-def default_mode_table(n_max: int = 30, l_max: int = 4) -> ModeTable:
+def default_mode_table(n_max: int = 30, l_max: int = 6) -> ModeTable:
     """Multipole inventory through ``l_max`` (families in _FAMILIES;
-    l_max up to 8 since round 4 — 42 (l, m) families incl. all current
-    multipoles; production default stays l_max = 4 with the l = 5..8 rungs
-    available for convergence studies, cf. tools/convergence_l56.py).
+    l_max up to 10 since round 5 — 63 (l, m) families, matching the
+    reference inventory's l <= 10 reach). The production default is
+    l_max = 6 (round 5): the measured l4-vs-l6 FD mismatch reaches 1.1e-3
+    for high-e draws — above the repo's 1e-4 accuracy gate — while
+    l6-vs-l8 is <= 1.1e-5 (PARITY.md; tools/convergence_l56.py), so l = 6
+    is the first rung under the gate across the PE prior. l = 7..10 stay
+    available for convergence studies. Reference inventory:
+    RomanAmplitude's 3843 modes through l = 10 (reference
+    Tutorial_FD_construction_single_mode.ipynb cell 2).
 
     m > 0 families carry n in [-n_max, n_max]; m = 0 families carry
     n in [1, n_max] (their negative-n partners follow from reality).
@@ -194,7 +229,7 @@ def _orbit_harmonics(p, e, n_max: int, fam_subset: tuple[int, ...] | None = None
 
     ``p``, ``e``: any shape, flattened internally to a (BK,) batch.
     ``fam_subset``: static tuple of indices into ``_FAMILY_ORDER`` (None =
-    all 25 families); restricting to the table's families keeps the l<=4
+    all 63 families); restricting to the table's families keeps the
     production configuration at its original row count. Returns ``f_fam``
     f32 of shape (..., len(subset), 2*n_max+1) indexed by (subset order,
     n = -n_max..n_max), plus (omega_phi, omega_r) f32 of shape (...,).
@@ -256,13 +291,18 @@ def _orbit_harmonics(p, e, n_max: int, fam_subset: tuple[int, ...] | None = None
     # orbit functional building blocks: r powers, specific angular momentum
     # l = r^2 dphi/dt, and cos/sin(k dphi) by Chebyshev-style recurrence
     ell = (r * r) * dphi_dchi / dt_dchi
+    # highest azimuthal harmonic / r power any REQUESTED family needs
+    # (k, r power reach 10 for the l = 10 inventory; building only what
+    # the subset uses keeps the production l <= 6 path at its row count)
+    k_top = max(_FAMILIES[_FAMILY_ORDER[i]][0] for i in fam_subset)
+    rp_top = max(_FAMILIES[_FAMILY_ORDER[i]][1] for i in fam_subset)
     c1, s1 = jnp.cos(dphi), jnp.sin(dphi)
     ck = {0: (jnp.ones_like(c1), jnp.zeros_like(s1)), 1: (c1, s1)}
-    for k in range(2, 9):
+    for k in range(2, max(k_top, 1) + 1):
         cprev, sprev = ck[k - 1]
         ck[k] = (cprev * c1 - sprev * s1, sprev * c1 + cprev * s1)
     rpow = {1: r}
-    for rp in range(2, 9):
+    for rp in range(2, max(rp_top, 1) + 1):
         rpow[rp] = rpow[rp - 1] * r
 
     def fval(rp, lp):
@@ -418,6 +458,7 @@ def mode_amplitudes(
     w3 = w2 * omega_mn
     w4 = w2 * w2
     ls = jnp.asarray(table.ls)
+    w8 = w4 * w4
     pw = jnp.where(
         ls == 2, w2,
         jnp.where(ls == 3, w3,
@@ -425,7 +466,9 @@ def mode_amplitudes(
                             jnp.where(ls == 5, w4 * omega_mn,
                                       jnp.where(ls == 6, w4 * w2,
                                                 jnp.where(ls == 7, w4 * w3,
-                                                          w4 * w4))))),
+                                                          jnp.where(ls == 8, w8,
+                                                                    jnp.where(ls == 9, w8 * omega_mn,
+                                                                              w8 * w2))))))),
     )
 
     a = pw * f_sel

@@ -62,7 +62,7 @@ def flux_from_modes(
 ) -> tuple[jax.Array, jax.Array]:
     """(Edot, Ldot)/nu from the waveform's own multipole content (jittable).
 
-    Energy balance with the l <= 4 mode amplitudes: each (l, m, n) harmonic
+    Energy balance with the table's mode amplitudes: each (l, m, n) harmonic
     radiates dE/dt = (1/16 pi) omega^2 |A|^2 per unit solid-angle-summed
     power, and carries angular momentum L_z/E = m/omega per quantum, so
 
@@ -72,7 +72,8 @@ def flux_from_modes(
     (factor 2 from the tabulated m >= 0 half plus equatorial partners).
     This is the dissipative counterpart of the waveform's multipole
     expansion — the trajectory loses exactly the energy the waveform
-    carries, through l = 4 (the reference engine achieves the analogous
+    carries, through the table's l_max (production l = 6 since round 5;
+    the reference engine achieves the analogous
     consistency with Teukolsky flux + amplitude data). Relative to the
     Peters-Mathews quadrupole flux this adds the current-quadrupole /
     octupole / hexadecapole dissipation channels (the leading PN flux
@@ -259,8 +260,8 @@ def inspiral_rhs(state: jax.Array, args: InspiralRHS, flux_fn=pn_flux_e_l) -> ja
     Matches the reference trajectory's evolved variables (x fixed at 1 and
     Phi_theta unused for Schwarzschild-eccentric, cf. reference notebook
     cell 5 trajectory unpack). ``flux_fn``: dissipative model —
-    `pn_flux_e_l` (Peters-Mathews) or `multipole_flux_e_l` (the l <= 4
-    mode-sum flux, energy-balanced with the waveform).
+    `pn_flux_e_l` (Peters-Mathews) or `multipole_flux_e_l` (the mode-sum
+    flux, energy-balanced with the waveform).
     """
     p, e = state[0], state[1]
     # clamp eccentricity away from exactly 0 for the edot/e terms

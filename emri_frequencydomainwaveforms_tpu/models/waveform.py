@@ -555,7 +555,7 @@ class FastSchwarzschildEccentricFlux:
         sum_kwargs=None,
         use_gpu=None,
         n_max: int = 30,
-        l_max: int = 4,
+        l_max: int = 6,
         k_max: int = 64,
     ):
         del Ylm_kwargs, use_gpu
@@ -743,7 +743,7 @@ class GenerateEMRIWaveform:
         use_gpu=None,
         frame: str = "detector",
         n_max: int = 30,
-        l_max: int = 4,
+        l_max: int = 6,
         k_max: int = 64,
     ):
         if waveform_class != "FastSchwarzschildEccentricFlux":

@@ -134,6 +134,20 @@ def _tensor_traces(T, s, k):
     return out
 
 
+def _distinct_perms(key):
+    """All distinct permutations of a (possibly repeating) tuple."""
+    if not key:
+        yield ()
+        return
+    seen = set()
+    for i, a in enumerate(key):
+        if a in seen:
+            continue
+        seen.add(a)
+        for rest in _distinct_perms(key[:i] + key[i + 1:]):
+            yield (a,) + rest
+
+
 @_lru(maxsize=None)
 def _stf_coeffs(s):
     rng = np.random.default_rng(12345)
@@ -149,7 +163,10 @@ def _stf_coeffs(s):
     kmax = s // 2
     trs = [_tensor_traces(tdict, s, k) for k in range(kmax + 1)]
     rows, rhs = [], []
-    for lead in _it.product(AX, repeat=s - 2):
+    # sorted leads only: permutations of a lead give the identical trace
+    # condition on a symmetric tensor (round-5 rank-9/10 speedup, same as
+    # tools/derive_multipoles.py)
+    for lead in _it.combinations_with_replacement(AX, s - 2):
         coef = np.zeros(kmax)
         base = 0.0
         for a in AX:
@@ -170,13 +187,16 @@ def _stf(T, s):
     cks = _stf_coeffs(s)
     trs = [None] + [_tensor_traces(T, s, k) for k in range(1, s // 2 + 1)]
     out = {}
-    for idx in _it.product(AX, repeat=s):
-        val = T[idx]
+    # evaluate at sorted index tuples, mirror to distinct permutations
+    # (symmetric input => symmetric STF; round-5 rank-9/10 speedup)
+    for key in _it.combinations_with_replacement(AX, s):
+        val = T[key]
         for k in range(1, s // 2 + 1):
-            v = _sym_delta_term(trs[k], s, k, idx)
+            v = _sym_delta_term(trs[k], s, k, key)
             if v is not None:
                 val = val + cks[k - 1] * v
-        out[idx] = val
+        for perm in _distinct_perms(key):
+            out[perm] = val
     return out
 
 
@@ -339,19 +359,36 @@ def thorne_h(p, e, theta, phi_v, t_grid,
             out[idx] = cache[key]
         return _stf(out, s)
 
+    def _rest_combos(s2):
+        """Sorted index multisets of length s2 with their multiplicities —
+        the contracted moment is fully symmetric, so the 3^s2 ordered
+        N-index tuples collapse to C(s2+2, 2) weighted terms (round-5
+        speedup: the rank-9/10 assembly was ~100x slower without this)."""
+        out = []
+        for rest in _it.combinations_with_replacement(AX, s2):
+            cnt = _math.factorial(s2)
+            for a in set(rest):
+                cnt //= _math.factorial(rest.count(a))
+            out.append((rest, cnt))
+        return out
+
     def mass_term(s, coeff):
         M = mass_moment(s)
         tab = Torus({})
-        for idx in _it.product(AX, repeat=s):
-            wgt = w[idx[0]] * w[idx[1]] * coeff * 0.5
-            for a in idx[2:]:
-                wgt = wgt * N[a]
-            if wgt != 0.0:
-                tab = tab + wgt * M[idx]
+        for j in AX:
+            for k in AX:
+                wjk = w[j] * w[k] * coeff * 0.5
+                for rest, cnt in _rest_combos(s - 2):
+                    wgt = wjk * cnt
+                    for a in rest:
+                        wgt = wgt * N[a]
+                    if wgt != 0.0:
+                        tab = tab + wgt * M[(j, k) + rest]
         return tab
 
     def current_term(s, coeff):
         S = current_moment(s)
+        rests = _rest_combos(s - 2)
         tab = Torus({})
         for j in AX:
             for k in AX:
@@ -361,8 +398,8 @@ def thorne_h(p, e, theta, phi_v, t_grid,
                         e2 = eps[pp + q + k]
                         if e1 == 0.0 and e2 == 0.0:
                             continue
-                        for rest in _it.product(AX, repeat=s - 2):
-                            nw = 1.0
+                        for rest, cnt in rests:
+                            nw = float(cnt)
                             for a in rest:
                                 nw *= N[a]
                             if nw == 0.0:
@@ -392,5 +429,13 @@ def thorne_h(p, e, theta, phi_v, t_grid,
         h = add_h(mass_term(8, 1.0 / 10080.0), 8, h)
     if "T14" in terms:  # current 2^8-pole (8*8/9!)
         h = add_h(current_term(8, 1.0 / 5670.0), 8, h)
+    if "T15" in terms:  # mass 2^9-pole (4/9!)
+        h = add_h(mass_term(9, 1.0 / 90720.0), 9, h)
+    if "T16" in terms:  # current 2^9-pole (8*9/10!)
+        h = add_h(current_term(9, 1.0 / 50400.0), 9, h)
+    if "T17" in terms:  # mass 2^10-pole (4/10!)
+        h = add_h(mass_term(10, 1.0 / 907200.0), 10, h)
+    if "T18" in terms:  # current 2^10-pole (8*10/11!)
+        h = add_h(current_term(10, 1.0 / 498960.0), 10, h)
 
     return h

@@ -216,6 +216,33 @@ class TestMultipoleAmplitudes:
         scale = np.max(np.abs(h_direct))
         np.testing.assert_allclose(h_modes / scale, h_direct / scale, atol=2e-3)
 
+    def test_l9_families(self):
+        # round 5: the l = 9 rungs (full reference-inventory reach) vs the
+        # generic-STF Thorne-4.8 brute force at an orbit/angle pair the
+        # derivation never saw. Also regression-pins the omega^l ladder in
+        # mode_amplitudes (a silent omega^8 cap there produced O(1)-wrong
+        # l = 9, 10 amplitudes when first landed).
+        t_grid = self._grid()
+        table = _family_table(
+            [(9, m) for m in (9, 7, 5, 3, 1)] + [(9, m) for m in (8, 6, 4, 2, 0)]
+        )
+        h_modes = _reconstruct_h(self.P, self.E, 1.3, 1.7, t_grid, table=table)
+        h_direct = thorne_h(self.P, self.E, 1.3, 1.7, t_grid, terms=("T15", "T16"))
+        scale = np.max(np.abs(h_direct))
+        # f32 harmonic-projection noise amplified by omega^9 (cf. l=8 note)
+        np.testing.assert_allclose(h_modes / scale, h_direct / scale, atol=5e-3)
+
+    def test_l10_families(self):
+        t_grid = self._grid()
+        table = _family_table(
+            [(10, m) for m in (10, 8, 6, 4, 2, 0)]
+            + [(10, m) for m in (9, 7, 5, 3, 1)]
+        )
+        h_modes = _reconstruct_h(self.P, self.E, 0.9, 2.8, t_grid, table=table)
+        h_direct = thorne_h(self.P, self.E, 0.9, 2.8, t_grid, terms=("T17", "T18"))
+        scale = np.max(np.abs(h_direct))
+        np.testing.assert_allclose(h_modes / scale, h_direct / scale, atol=1e-2)
+
 
 class TestQuadrupoleAmplitudes:
 

@@ -86,14 +86,14 @@ def main():
     draws = 4 if args.quick else args.draws
 
     rng = np.random.default_rng(2601996)
-    table_hi = default_mode_table(20, l_max=8)
+    table_hi = default_mode_table(20, l_max=10)
 
-    fracs56, fracs78, ratios, ratio_chains = [], [], [], []
+    fracs56, fracs78, fracs910, ratios, ratio_chains = [], [], [], [], []
     for _ in range(draws):
         logm = rng.uniform(5.0, 6.5)
         m_mass = 10.0**logm
         mu = 10.0 ** rng.uniform(0.8, 1.8)
-        e0 = rng.uniform(0.1, 0.6)
+        e0 = rng.uniform(0.1, 0.7)  # full CLI prior range (cli/emri_pe.py)
         t_years = 0.5
         try:
             p0 = float(get_p_at_t(m_mass, mu, e0, t_years * 1.02))
@@ -105,14 +105,16 @@ def main():
         p56 = (pb.get(5, 0.0) + pb.get(6, 0.0)) / tot
         fracs56.append(p56)
         fracs78.append((pb.get(7, 0.0) + pb.get(8, 0.0)) / tot)
+        fracs910.append((pb.get(9, 0.0) + pb.get(10, 0.0)) / tot)
         if pb.get(4, 0.0) > 0 and pb.get(5, 0.0) > 0:
             ratios.append(pb[5] / pb[4])
-        chain = [pb.get(l, 0.0) for l in (5, 6, 7, 8)]
+        chain = [pb.get(l, 0.0) for l in (5, 6, 7, 8, 9, 10)]
         if all(v > 0 for v in chain):
-            ratio_chains.append([chain[i + 1] / chain[i] for i in range(3)])
+            ratio_chains.append([chain[i + 1] / chain[i] for i in range(5)])
 
     fracs56 = np.asarray(fracs56)
     fracs78 = np.asarray(fracs78)
+    fracs910 = np.asarray(fracs910)
     ratios = np.asarray(ratios)
     ratio_chains = np.asarray(ratio_chains)
     print(f"draws: {len(fracs56)}")
@@ -129,30 +131,40 @@ def main():
         "l=7,8 power fraction (measured): median %.3e  p90 %.3e  max %.3e"
         % (np.median(fracs78), np.quantile(fracs78, 0.9), fracs78.max())
     )
+    # round 5: the l = 9, 10 families are MEASURED too (full reference
+    # inventory reach; the l > 8 content was a decay-ratio bound before)
+    print(
+        "l=9,10 power fraction (measured): median %.3e  p90 %.3e  max %.3e"
+        % (np.median(fracs910), np.quantile(fracs910, 0.9), fracs910.max())
+    )
     if ratio_chains.size:
         med = np.median(ratio_chains, axis=0)
-        print("per-l decay ratios P(l+1)/P(l), l=5..7 medians:",
+        print("per-l decay ratios P(l+1)/P(l), l=5..9 medians:",
               [round(float(v), 3) for v in med])
-    # geometric-tail bound on the l>8 remainder relative to total power
+    # geometric-tail bound on the l>10 remainder relative to total power
     r = float(np.quantile(ratio_chains[:, -1], 0.9)) if ratio_chains.size \
         else float(np.quantile(ratios, 0.9))
-    tail_bound = float(np.quantile(fracs78, 0.9)) * r / max(1.0 - r, 1e-9)
-    print(f"geometric-tail bound on l>8 remainder: ~{tail_bound:.1e} of total power")
+    tail_bound = float(np.quantile(fracs910, 0.9)) * r / max(1.0 - r, 1e-9)
+    print(f"geometric-tail bound on l>10 remainder: ~{tail_bound:.1e} of total power")
 
     mms, mms68 = [], []
     cases = [
         (1e6, 10.0, 0.35, 0.9, 1.2),
         (1e6, 10.0, 0.6, 1.9, 4.0),
         (3e5, 30.0, 0.5, 0.7, 0.4),
+        (1e6, 10.0, 0.7, 1.9, 4.0),  # prior edge e0 = 0.7 (round 5)
     ]
+    mms810 = []
     for m_mass, mu, e0, th, ph in cases:
         p0 = float(get_p_at_t(m_mass, mu, e0, 0.15 * 1.05))
         mm = fd_mismatch_lpair(m_mass, mu, p0, e0, th, ph, 0.15, l_pair=(4, 6))
         mm68 = fd_mismatch_lpair(m_mass, mu, p0, e0, th, ph, 0.15, l_pair=(6, 8))
+        mm810 = fd_mismatch_lpair(m_mass, mu, p0, e0, th, ph, 0.15, l_pair=(8, 10))
         mms.append(mm)
         mms68.append(mm68)
-        print(f"FD mismatch l4-l6 / l6-l8 (M={m_mass:.0e}, mu={mu}, e0={e0}): "
-              f"{mm:.3e} / {mm68:.3e}")
+        mms810.append(mm810)
+        print(f"FD mismatch l4-l6 / l6-l8 / l8-l10 (M={m_mass:.0e}, mu={mu}, "
+              f"e0={e0}): {mm:.3e} / {mm68:.3e} / {mm810:.3e}")
 
     report = {
         "draws": int(len(fracs56)),
@@ -167,9 +179,15 @@ def main():
             "p90": float(np.quantile(fracs78, 0.9)),
             "max": float(fracs78.max()),
         },
-        "geometric_tail_bound_beyond_l8": tail_bound,
+        "l910_power_fraction": {
+            "median": float(np.median(fracs910)),
+            "p90": float(np.quantile(fracs910, 0.9)),
+            "max": float(fracs910.max()),
+        },
+        "geometric_tail_bound_beyond_l10": tail_bound,
         "fd_mismatch_l4_vs_l6": [float(m) for m in mms],
         "fd_mismatch_l6_vs_l8": [float(m) for m in mms68],
+        "fd_mismatch_l8_vs_l10": [float(m) for m in mms810],
     }
     print(json.dumps(report))
     return report

@@ -42,8 +42,13 @@ from emri_frequencydomainwaveforms_tpu.models.geodesic import darwin_orbit
 N_CHI = 2048
 N_MAX = 40
 # highest multipole degree to derive (round 4 extends the inventory to
-# l = 8; the STF/torus machinery is rank-generic)
-L_TOP = 8
+# l = 8, round 5 to l = 10; the STF/torus machinery is rank-generic).
+# L_ONLY (env) restricts the fit/printout to l >= L_ONLY terms so the
+# already-derived low-l constants are not recomputed.
+import os as _os
+
+L_TOP = int(_os.environ.get("L_TOP", "8"))
+L_ONLY = int(_os.environ.get("L_ONLY", "0"))
 
 
 def orbit_data(p, e):
@@ -267,9 +272,29 @@ def brute_force_terms(p, e, theta, phi_v, t_grid):
             rank -= 2
         return out
 
+    def _distinct_perms(key):
+        """All distinct permutations of a (possibly repeating) tuple."""
+        if not key:
+            yield ()
+            return
+        seen = set()
+        for i, a in enumerate(key):
+            if a in seen:
+                continue
+            seen.add(a)
+            for rest in _distinct_perms(key[:i] + key[i + 1:]):
+                yield (a,) + rest
+
     @lru_cache(maxsize=None)
     def _stf_coeffs(s):
-        """Trace-removal coefficients c_k (k = 1..s//2) for rank s."""
+        """Trace-removal coefficients c_k (k = 1..s//2) for rank s.
+
+        Round 5: the constraint rows are built only for SORTED leading
+        index tuples — for a symmetric tensor every permutation of a lead
+        yields the identical trace condition, and the full 3^(s-2)
+        enumeration made rank 9/10 (the l = 9, 10 inventory) ~100x more
+        expensive for no information.
+        """
         rng = np.random.default_rng(12345)
         raw = rng.standard_normal((3,) * s)
         sym = np.zeros_like(raw)
@@ -288,7 +313,7 @@ def brute_force_terms(p, e, theta, phi_v, t_grid):
         # over the last index pair must vanish for every leading index tuple
         rows = []
         rhs = []
-        for lead in itertools.product(AX, repeat=s - 2):
+        for lead in itertools.combinations_with_replacement(AX, s - 2):
             coef = np.zeros(kmax)
             base = 0.0
             for a in AX:
@@ -307,17 +332,24 @@ def brute_force_terms(p, e, theta, phi_v, t_grid):
         return tuple(c)
 
     def stf(T, s):
-        """STF of an already-symmetric rank-s dict with Torus entries."""
+        """STF of an already-symmetric rank-s dict with Torus entries.
+
+        Round 5: evaluated only at sorted index tuples and mirrored to
+        their distinct permutations (input symmetric + delta-trace terms
+        symmetric => output symmetric), cutting the rank-10 assembly from
+        3^10 x partitions to C(s+2, 2) x partitions Python visits.
+        """
         cks = _stf_coeffs(s)
         trs = [None] + [_traces(T, s, k) for k in range(1, s // 2 + 1)]
         out = {}
-        for idx in itertools.product(AX, repeat=s):
-            val = T[idx]
+        for key in itertools.combinations_with_replacement(AX, s):
+            val = T[key]
             for k in range(1, s // 2 + 1):
-                v, _ = _sym_delta_term(trs[k], s, k, idx)
+                v, _ = _sym_delta_term(trs[k], s, k, key)
                 if v is not None:
                     val = val + cks[k - 1] * v
-            out[idx] = val
+            for perm in _distinct_perms(key):
+                out[perm] = val
         return out
 
     def mass_moment(s):
@@ -410,19 +442,38 @@ def brute_force_terms(p, e, theta, phi_v, t_grid):
     # coefficients: l=4 curr 4/15, l=5 mass 1/30, l=5 curr 1/18,
     # l=6 mass 1/180, l=6 curr 1/105; the extra 0.5 is the h contraction
     # half and the inner 0.5 the (j k) symmetrization, as in T3/T5. ----
+    def _rest_combos(s2):
+        """Sorted index multisets of length s2 with multiplicities — the
+        contracted moments are fully symmetric, so the 3^s2 ordered
+        N-index tuples collapse to C(s2+2, 2) weighted terms (round-5
+        rank-9/10 speedup, mirrored in tests/helpers_thorne.py)."""
+        import math as _math
+
+        out = []
+        for rest in itertools.combinations_with_replacement(AX, s2):
+            cnt = _math.factorial(s2)
+            for a in set(rest):
+                cnt //= _math.factorial(rest.count(a))
+            out.append((rest, cnt))
+        return out
+
     def mass_term(s, coeff):
         M = mass_moment(s)
         tab = Torus({})
-        for idx in itertools.product(AX, repeat=s):
-            wgt = w[idx[0]] * w[idx[1]] * coeff * 0.5
-            for a in idx[2:]:
-                wgt = wgt * N[a]
-            if wgt != 0.0:
-                tab = tab + wgt * M[idx]
+        for j in AX:
+            for k in AX:
+                wjk = w[j] * w[k] * coeff * 0.5
+                for rest, cnt in _rest_combos(s - 2):
+                    wgt = wjk * cnt
+                    for a in rest:
+                        wgt = wgt * N[a]
+                    if wgt != 0.0:
+                        tab = tab + wgt * M[(j, k) + rest]
         return tab
 
     def current_term(s, coeff):
         S = current_moment(s)
+        rests = _rest_combos(s - 2)
         tab = Torus({})
         for j in AX:
             for k in AX:
@@ -432,8 +483,8 @@ def brute_force_terms(p, e, theta, phi_v, t_grid):
                         e2 = eps[pp + q + k]
                         if e1 == 0.0 and e2 == 0.0:
                             continue
-                        for rest in itertools.product(AX, repeat=s - 2):
-                            nw = 1.0
+                        for rest, cnt in rests:
+                            nw = float(cnt)
                             for a in rest:
                                 nw *= N[a]
                             if nw == 0.0:
@@ -445,20 +496,31 @@ def brute_force_terms(p, e, theta, phi_v, t_grid):
                                 tab = tab + (base * e2) * S[(j, pp) + rest]
         return tab
 
-    terms["T6_curhex"] = ([current_term(4, 4.0 / 15.0).coeffs(od)], [4])
-    terms["T7_mass5"] = ([mass_term(5, 1.0 / 30.0).coeffs(od)], [5])
-    terms["T8_cur5"] = ([current_term(5, 1.0 / 18.0).coeffs(od)], [5])
-    terms["T9_mass6"] = ([mass_term(6, 1.0 / 180.0).coeffs(od)], [6])
-    terms["T10_cur6"] = ([current_term(6, 1.0 / 105.0).coeffs(od)], [6])
-    if L_TOP >= 7:
+    if L_ONLY <= 4:
+        terms["T6_curhex"] = ([current_term(4, 4.0 / 15.0).coeffs(od)], [4])
+    if L_ONLY <= 5:
+        terms["T7_mass5"] = ([mass_term(5, 1.0 / 30.0).coeffs(od)], [5])
+        terms["T8_cur5"] = ([current_term(5, 1.0 / 18.0).coeffs(od)], [5])
+    if L_ONLY <= 6:
+        terms["T9_mass6"] = ([mass_term(6, 1.0 / 180.0).coeffs(od)], [6])
+        terms["T10_cur6"] = ([current_term(6, 1.0 / 105.0).coeffs(od)], [6])
+    if L_TOP >= 7 and L_ONLY <= 7:
         # Thorne 4.8 series continued: mass l coefficient 4/l!, current l
         # coefficient 8l/(l+1)!  ->  l=7: 4/5040 = 1/1260, 56/40320 = 1/720;
         #                             l=8: 4/40320 = 1/10080, 64/362880 = 1/5670
         terms["T11_mass7"] = ([mass_term(7, 1.0 / 1260.0).coeffs(od)], [7])
         terms["T12_cur7"] = ([current_term(7, 1.0 / 720.0).coeffs(od)], [7])
-    if L_TOP >= 8:
+    if L_TOP >= 8 and L_ONLY <= 8:
         terms["T13_mass8"] = ([mass_term(8, 1.0 / 10080.0).coeffs(od)], [8])
         terms["T14_cur8"] = ([current_term(8, 1.0 / 5670.0).coeffs(od)], [8])
+    if L_TOP >= 9 and L_ONLY <= 9:
+        # l=9: mass 4/9! = 1/90720, current 8*9/10! = 1/50400
+        terms["T15_mass9"] = ([mass_term(9, 1.0 / 90720.0).coeffs(od)], [9])
+        terms["T16_cur9"] = ([current_term(9, 1.0 / 50400.0).coeffs(od)], [9])
+    if L_TOP >= 10 and L_ONLY <= 10:
+        # l=10: mass 4/10! = 1/907200, current 8*10/11! = 1/498960
+        terms["T17_mass10"] = ([mass_term(10, 1.0 / 907200.0).coeffs(od)], [10])
+        terms["T18_cur10"] = ([current_term(10, 1.0 / 498960.0).coeffs(od)], [10])
 
     return {k: h_of_t(tabs, od, t_grid, Ls) for k, (tabs, Ls) in terms.items()}, od
 
@@ -533,6 +595,19 @@ def main():
             ("T13_mass8", +1, [(8, m, lambda r, l: r**8) for m in (8, 6, 4, 2, 0)]),
             ("T14_cur8", -1, [(8, m, lambda r, l: l * r**7) for m in (7, 5, 3, 1)]),
         ]
+    if L_TOP >= 9:
+        cases += [
+            ("T15_mass9", +1, [(9, m, lambda r, l: r**9) for m in (9, 7, 5, 3, 1)]),
+            ("T16_cur9", -1, [(9, m, lambda r, l: l * r**8) for m in (8, 6, 4, 2, 0)]),
+        ]
+    if L_TOP >= 10:
+        cases += [
+            ("T17_mass10", +1,
+             [(10, m, lambda r, l: r**10) for m in (10, 8, 6, 4, 2, 0)]),
+            ("T18_cur10", -1,
+             [(10, m, lambda r, l: l * r**9) for m in (9, 7, 5, 3, 1)]),
+        ]
+    cases = [c for c in cases if int(c[2][0][0]) >= L_ONLY]
 
     angles = [(0.8, 0.3), (1.9, 2.2), (2.6, 5.1)]
     # brute force once per angle (the rank-6 STF assembly dominates)
