@@ -100,6 +100,49 @@ def test_model_newtonian_e2_coefficient_is_157_over_24():
     assert abs(g0 - G0_EXACT) < 1e-4, (g0, G0_EXACT)
 
 
+class TestCorrectedFluxStrongField:
+    """Round-4 VERDICT weak #6: pin the CORRECTED stack's flux against the
+    solver. A PN-regime g2 of the corrected stack is ill-posed (the B/R
+    calibration tables clamp at their strong-field grid edges), so the pin
+    is at held-out residual-grid midpoints (tools/rwz/ecc_flux_check.py,
+    run 2026-08-20): total flux over the calibrated mode set,
+
+      (p, e)            F_solver        no-R/solver   with-R/solver
+      ( 7.50, 0.244)    3.42602e-4      1.00496       1.00928
+      (10.04, 0.411)    8.29434e-5      1.02154       1.00195
+      (15.78, 0.578)    7.73327e-6      1.03286       0.99997
+
+    The residual table closes the 2-3% eccentric flux gap to <=0.2% away
+    from the separatrix; the innermost cell is limited by the residual
+    table's u-resolution near the edge (0.9%, honest bound recorded in
+    PARITY.md). The test recomputes the MODEL side (f64, seconds) and pins
+    it against the recorded solver fluxes — solver re-solves are the
+    tool's job, not CI's.
+    """
+
+    # (p, e, F_solver) from the recorded tool run
+    POINTS = [
+        (7.500673, 0.244444, 3.4260240176162084e-04, 1.5e-2),
+        (10.036079, 0.411111, 8.294336830124971e-05, 5e-3),
+        (15.779034, 0.577778, 7.733273957225663e-06, 1e-3),
+    ]
+
+    @pytest.mark.parametrize("p,e,f_solver,tol", POINTS)
+    def test_corrected_flux_matches_solver(self, p, e, f_solver, tol):
+        from tools.rwz.ecc_flux_check import _model_fluxes
+
+        f_no, f_r = _model_fluxes(p, e)
+        assert abs(f_r / f_solver - 1.0) < tol, (f_r / f_solver, tol)
+
+    def test_residual_closes_the_gap_away_from_separatrix(self):
+        # the two outer points: with-R must beat no-R by >= 5x
+        from tools.rwz.ecc_flux_check import _model_fluxes
+
+        for (p, e, f_solver, _tol) in self.POINTS[1:]:
+            f_no, f_r = _model_fluxes(p, e)
+            assert abs(f_r / f_solver - 1.0) < 0.2 * abs(f_no / f_solver - 1.0)
+
+
 @pytest.mark.slow
 def test_solver_newtonian_e2_coefficient():
     """The first-principles eccentric RWZ solver reproduces the exact
