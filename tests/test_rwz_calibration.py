@@ -194,13 +194,21 @@ def test_facade_rwz_waveform_runs():
         GenerateEMRIWaveform,
     )
 
+    # reduced inventory (n_max=8, l_max=3): the check is that the rwz
+    # calibration measurably changes the facade output, which the l <= 3
+    # rows already carry — the full l_max=6 production default costs
+    # ~6 min of 1-core CI per stack and adds no coverage here (the
+    # production inventory itself is exercised by bench.py's gates and
+    # tools/convergence_l56.py)
     gen = GenerateEMRIWaveform(
         sum_kwargs={"output_type": "fd", "flux": "multipole_rwz"},
         amplitude_kwargs={"tail": True, "factorized": True, "rwz": True},
+        n_max=8, l_max=3,
     )
     gen0 = GenerateEMRIWaveform(
         sum_kwargs={"output_type": "fd", "flux": "multipole_factorized"},
         amplitude_kwargs={"tail": True, "factorized": True},
+        n_max=8, l_max=3,
     )
     args = (1e6, 10.0, 0.0, 11.0, 0.3, 1.0, 1.0, 0.6, 0.4, 0.7, 0.3, 0.0, 0.0, 0.0)
     kw = dict(T=0.02, dt=10.0, eps=1e-2)

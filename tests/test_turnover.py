@@ -17,6 +17,7 @@ kernel must track them, the single-branch kernel cannot.
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from emri_frequencydomainwaveforms_tpu.models.amplitude import default_mode_table
 from emri_frequencydomainwaveforms_tpu.models.summation_fd import (
@@ -232,41 +233,49 @@ class TestNegativeFrequencyBranch:
             assert np.isfinite(np.asarray(o)).all()
 
 
+@pytest.fixture(scope="module")
+def plunging_banded():
+    """Shared expensive artifacts for the banded-turnover tests (round-5
+    suite ergonomics): ONE plunging prologue, ONE full-slot banded
+    evaluation, ONE no-slot banded evaluation, computed once per module
+    instead of per test (each fd_mode_sum over 240k bins is ~1 min on the
+    1-core CI box)."""
+    from emri_frequencydomainwaveforms_tpu.models.summation_fd import (
+        fd_mode_sum_uniform,
+    )
+
+    table = default_mode_table(16, l_max=2)
+    pro = waveform_prologue(
+        1e6, 50.0, 7.6, 0.3, 0.7, 0.5, 1.0, 0.0, 0.0,
+        t_years=1.0, table=table, k_max=32, eps=1e-2,
+    )
+    sig = _sigma(table)
+    ypr, ypi = pro.y_plus
+    ymr, ymi = pro.y_minus
+    inp = prepare_fd_inputs(
+        pro.t_knots, pro.n_live, pro.phi_phi, pro.phi_r,
+        pro.a_re, pro.a_im, table, pro.sel,
+        (sig * ymr, sig * ymi), (ypr, -ypi),
+        w1n=(ypr, ypi), w2n=(sig * ymr, -sig * ymi),
+    )
+    f0, df, nf = 1e-3, 2.5e-8, 240000
+    banded_full = fd_mode_sum_uniform(
+        inp, f0, df, nf, bins_per_run=16, turnover_slots=4,
+        negative_slots=4, extra_band_runs=2048,
+    )
+    b0 = np.asarray(fd_mode_sum_uniform(inp, f0, df, nf, bins_per_run=16)[0])
+    return inp, (f0, df, nf), banded_full, b0
+
+
 class TestBandedTurnover:
     """Round 3: the banded uniform production kernel carries the same
     turnover/negative content as the general kernel (second scan with its
     own window budget)."""
 
-    def _plunging_inputs(self):
-        table = default_mode_table(16, l_max=2)
-        pro = waveform_prologue(
-            1e6, 50.0, 7.6, 0.3, 0.7, 0.5, 1.0, 0.0, 0.0,
-            t_years=1.0, table=table, k_max=32, eps=1e-2,
-        )
-        sig = _sigma(table)
-        ypr, ypi = pro.y_plus
-        ymr, ymi = pro.y_minus
-        inp = prepare_fd_inputs(
-            pro.t_knots, pro.n_live, pro.phi_phi, pro.phi_r,
-            pro.a_re, pro.a_im, table, pro.sel,
-            (sig * ymr, sig * ymi), (ypr, -ypi),
-            w1n=(ypr, ypi), w2n=(sig * ymr, -sig * ymi),
-        )
-        return inp
-
-    def test_banded_matches_general_with_slots(self):
-        from emri_frequencydomainwaveforms_tpu.models.summation_fd import (
-            fd_mode_sum_uniform,
-        )
-
-        inp = self._plunging_inputs()
+    def test_banded_matches_general_with_slots(self, plunging_banded):
+        inp, (f0, df, nf), banded, _b0 = plunging_banded
         assert int(np.asarray(inp.dec_live).sum()) >= 1
-        f0, df, nf = 1e-3, 2.5e-8, 240000
         f = f0 + df * np.arange(nf)
-        banded = fd_mode_sum_uniform(
-            inp, f0, df, nf, bins_per_run=16, turnover_slots=4,
-            negative_slots=4, extra_band_runs=2048,
-        )
         general = fd_mode_sum(
             inp, jnp.asarray(f), turnover_slots=4, negative_slots=4
         )
@@ -278,19 +287,11 @@ class TestBandedTurnover:
             # docstring): percent-level at the fold bins, ~2e-7 elsewhere
             assert rel < 2e-2
 
-    def test_banded_turnover_adds_content(self):
-        from emri_frequencydomainwaveforms_tpu.models.summation_fd import (
-            fd_mode_sum_uniform,
-        )
-
-        inp = self._plunging_inputs()
-        f0, df, nf = 1e-3, 2.5e-8, 240000
-        b0 = np.asarray(fd_mode_sum_uniform(inp, f0, df, nf, bins_per_run=16)[0])
-        b4 = np.asarray(
-            fd_mode_sum_uniform(inp, f0, df, nf, bins_per_run=16, turnover_slots=4)[0]
-        )
+    def test_banded_turnover_adds_content(self, plunging_banded):
+        _inp, _grid, banded, b0 = plunging_banded
+        b4 = np.asarray(banded[0])
         rel = np.sqrt(np.mean((b4 - b0) ** 2)) / np.sqrt(np.mean(b0**2))
-        assert 1e-4 < rel < 0.5  # real, bounded decreasing-branch content
+        assert 1e-4 < rel < 0.5  # real, bounded decreasing/negative content
         assert np.isfinite(b4).all()
 
     def test_chirp_regime_agreement_tight(self):
