@@ -457,16 +457,18 @@ def fd_mode_sum(
         p1 = d_lo
         p2 = 3.0 * dpsi - 2.0 * d_lo - d_hi
         p3 = -2.0 * dpsi + d_lo + d_hi
-        # envelope: linear in xi
-        e_re_hi = jnp.roll(e_re, -1)
-        e_im_hi = jnp.roll(e_im, -1)
-
-        # envelope dense-path tables in f32; the PHASE cubic stays f64
-        # (see below)
-        er0_32 = e_re.astype(f32)
-        der_32 = (e_re_hi - e_re).astype(f32)
-        ei0_32 = e_im.astype(f32)
-        dei_32 = (e_im_hi - e_im).astype(f32)
+        # envelope: linear in xi, in POLAR form (modulus + continuous
+        # phase; see _level1_uniform_tables — both kernels must interpolate
+        # the same quantities for kernel equivalence, and polar resolves
+        # the omega-dependent rwz/tail envelope rotation that Cartesian
+        # chord interpolation cannot). Anchored at the window-start node so
+        # garbage diffs from out-of-window nodes (inf envelopes where the
+        # extrapolated fdot underflows) cannot shift in-window phases.
+        e_abs, e_phs = _polar_envelope(e_re, e_im, anchor=lo_o)
+        ea0_32 = e_abs.astype(f32)
+        dea_32 = (jnp.roll(e_abs, -1) - e_abs).astype(f32)
+        ep0_32 = e_phs.astype(f32)
+        dep_32 = (jnp.roll(e_phs, -1) - e_phs).astype(f32)
 
         in_range = (f_pos >= f_start) & (f_pos <= f_end)
 
@@ -493,12 +495,10 @@ def fd_mode_sum(
             jnp.take(p1, j) + xi64 * (jnp.take(p2, j) + xi64 * jnp.take(p3, j))
         )
         psi32 = (psi64 - _TWO_PI * jnp.round(psi64 * (1.0 / _TWO_PI))).astype(f32)
-        c_psi = jnp.cos(psi32)
-        s_psi = jnp.sin(psi32)
-        er_b = jnp.take(er0_32, j) + xi * jnp.take(der_32, j)
-        ei_b = jnp.take(ei0_32, j) + xi * jnp.take(dei_32, j)
-        c_re = er_b * c_psi - ei_b * s_psi
-        c_im = er_b * s_psi + ei_b * c_psi
+        amp_b = jnp.take(ea0_32, j) + xi * jnp.take(dea_32, j)
+        psi32 = psi32 + jnp.take(ep0_32, j) + xi * jnp.take(dep_32, j)
+        c_re = amp_b * jnp.cos(psi32)
+        c_im = amp_b * jnp.sin(psi32)
 
         keep = in_range & (live_i > 0)
         c_re = jnp.where(keep, c_re, 0.0).astype(f32)
@@ -846,14 +846,15 @@ def _dense_slot_accumulate(carry, mode, f0, df, r, run_df, g_band_s, f_pos_dtype
         u = jnp.bitwise_and(r * r * n1 + u, mask)
         u = jnp.bitwise_and(b * u, mask)  # in [0, r^3)
         psi_d = psi_d + u.astype(f32) * f32(_TWO_PI / (r * r * r))
-    c_psi = jnp.cos(psi_d)
-    s_psi = jnp.sin(psi_d)
-    er0, er1, er2, er3 = ec_i[:, 0:1], ec_i[:, 1:2], ec_i[:, 2:3], ec_i[:, 3:4]
-    ei0, ei1, ei2, ei3 = ec_i[:, 4:5], ec_i[:, 5:6], ec_i[:, 6:7], ec_i[:, 7:8]
-    er_d = er0 + xi * (er1 + xi * (er2 + xi * er3))
-    ei_d = ei0 + xi * (ei1 + xi * (ei2 + xi * ei3))
-    c_re = er_d * c_psi - ei_d * s_psi
-    c_im = er_d * s_psi + ei_d * c_psi
+    # polar envelope (see _level1_uniform_tables): slots 0:4 = modulus
+    # cubic, slots 4:8 = envelope-phase cubic, folded into the sin/cos
+    # argument — same one transcendental pair per bin-mode as before
+    ea0, ea1, ea2, ea3 = ec_i[:, 0:1], ec_i[:, 1:2], ec_i[:, 2:3], ec_i[:, 3:4]
+    ep0, ep1, ep2, ep3 = ec_i[:, 4:5], ec_i[:, 5:6], ec_i[:, 6:7], ec_i[:, 7:8]
+    amp_d = ea0 + xi * (ea1 + xi * (ea2 + xi * ea3))
+    psi_d = psi_d + ep0 + xi * (ep1 + xi * (ep2 + xi * ep3))
+    c_re = amp_d * jnp.cos(psi_d)
+    c_im = amp_d * jnp.sin(psi_d)
 
     # band mask in int32 bin-index space: the f64 per-bin frequency grid
     # (g_band, r) and its two f64 compares are emulated ~5x on this chip
@@ -896,6 +897,39 @@ def _split_hi_lo(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     hi = x.astype(jnp.float32)
     lo = (x - hi.astype(x.dtype)).astype(jnp.float32)
     return hi, lo
+
+
+def _polar_envelope(e_re, e_im, anchor=None):
+    """Node-wise (modulus, continuous phase) of a complex envelope.
+
+    The phase is a sanitized unwrap along the last (node) axis: each diff
+    is centered into (-pi, pi] and non-finite diffs (garbage out-of-window
+    nodes can carry inf/NaN envelopes) are zeroed so they cannot poison
+    the cumulative sum. Zeroed diffs shift everything PAST them by a
+    non-2pi constant, so the result is re-anchored: the phase at node
+    ``anchor`` (an index into the node axis, broadcast over leading axes;
+    default 0) is restored to its raw atan2 value exactly, which restores
+    every node connected to the anchor through finite diffs to its exact
+    value mod 2pi — for an in-window anchor that is the whole window.
+    Precision: unwrapped in-window swings are the envelope's physical
+    rotation (O(10) rad), so f32 carries them to ~1e-6 rad.
+    """
+    e_abs = jnp.sqrt(e_re * e_re + e_im * e_im)
+    raw = jnp.arctan2(e_im, e_re)
+    d = jnp.diff(raw, axis=-1)
+    d = d - jnp.asarray(_TWO_PI, d.dtype) * jnp.round(d * (1.0 / _TWO_PI))
+    d = jnp.where(jnp.isfinite(d), d, 0.0)
+    start = jnp.where(jnp.isfinite(raw[..., :1]), raw[..., :1], 0.0)
+    phs = jnp.concatenate(
+        [jnp.zeros_like(raw[..., :1]), jnp.cumsum(d, axis=-1)], axis=-1
+    ) + start
+    if anchor is not None:
+        idx = jnp.clip(anchor, 0, raw.shape[-1] - 1)[..., None]
+        raw_a = jnp.take_along_axis(raw, idx, axis=-1)
+        phs_a = jnp.take_along_axis(phs, idx, axis=-1)
+        shift = jnp.where(jnp.isfinite(raw_a), phs_a - raw_a, 0.0)
+        phs = phs - shift
+    return e_abs, phs
 
 
 def _level1_uniform_tables(
@@ -1203,6 +1237,19 @@ def _level1_uniform_tables(
         # exact +0 (keeps one code path / one scan signature)
         nc = jnp.zeros(p1c.shape + (3,), jnp.int32)
 
+    # --- POLAR envelope (round 5): interpolate (|E|, arg E), not (Re, Im).
+    # Under the omega-dependent rwz/tail amplitude rotations the complex
+    # envelope ROTATES along each band; a Catmull-Rom of Re/Im resolves
+    # that rotation as chord-vs-arc interpolation error — the measured
+    # (deterministic, CPU-f64-confirmed) 6.4e-4 banded-vs-general residual
+    # at the bench config. Modulus and continuous phase are slowly varying
+    # real functions, so the same cubic resolves them to the flat-physics
+    # level, and the phase rides into the dense pass's sin/cos argument
+    # (no extra transcendental). The general kernel uses the identical
+    # polar convention (kernel-equivalence requires both sides to
+    # interpolate the same quantities).
+    e_abs, e_phs = _polar_envelope(e_re, e_im)
+
     # Catmull-Rom envelope: cubic from values at g-1, g, g+1, g+2
     def cr_coeffs(v):
         vm = jnp.concatenate([v[:, :1], v[:, :-1]], axis=1)[:, :-1]
@@ -1213,8 +1260,8 @@ def _level1_uniform_tables(
         s1 = 0.5 * (vp - v0)
         return v0, s0, 3.0 * (v1 - v0) - 2.0 * s0 - s1, -2.0 * (v1 - v0) + s0 + s1
 
-    er0, er1, er2, er3 = cr_coeffs(e_re)
-    ei0, ei1, ei2, ei3 = cr_coeffs(e_im)
+    er0, er1, er2, er3 = cr_coeffs(e_abs)
+    ei0, ei1, ei2, ei3 = cr_coeffs(e_phs)
 
     # band-EDGE intervals: affine envelope between the exact anchors
     # E(xi) = E_a + (xi - xa) (E_b - E_a) / span (envelope node values are
@@ -1229,8 +1276,8 @@ def _level1_uniform_tables(
         d = (v[:, 1:] - v0) * inv_span32
         return v0 - xa32 * d, d
 
-    er0_l, er1_l = edge_affine(e_re.astype(f32))
-    ei0_l, ei1_l = edge_affine(e_im.astype(f32))
+    er0_l, er1_l = edge_affine(e_abs)
+    ei0_l, ei1_l = edge_affine(e_phs)
     zero32 = jnp.zeros_like(er0_l)
     er0 = jnp.where(is_edge, er0_l, er0)
     er1 = jnp.where(is_edge, er1_l, er1)

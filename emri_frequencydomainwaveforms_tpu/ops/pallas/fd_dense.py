@@ -59,13 +59,13 @@ def _kernel(offsets_ref, pc_ref, ec_ref, sc_ref, out_init_ref, out_ref, win_ref,
     xi = (jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0).astype(f32)) * f32(1.0 / r)
     pc = pc_ref[0]  # (4, g_band)
     psi = pc[0:1, :] + xi * (pc[1:2, :] + xi * (pc[2:3, :] + xi * pc[3:4, :]))
-    c_psi = jnp.cos(psi)
-    s_psi = jnp.sin(psi)
+    # polar envelope (summation_fd._level1_uniform_tables): slots 0:4 are
+    # the modulus cubic, 4:8 the envelope-phase cubic added to psi
     ec = ec_ref[0]  # (8, g_band)
-    er = ec[0:1, :] + xi * (ec[1:2, :] + xi * (ec[2:3, :] + xi * ec[3:4, :]))
-    ei = ec[4:5, :] + xi * (ec[5:6, :] + xi * (ec[6:7, :] + xi * ec[7:8, :]))
-    c_re = er * c_psi - ei * s_psi
-    c_im = er * s_psi + ei * c_psi
+    amp = ec[0:1, :] + xi * (ec[1:2, :] + xi * (ec[2:3, :] + xi * ec[3:4, :]))
+    psi = psi + ec[4:5, :] + xi * (ec[5:6, :] + xi * (ec[6:7, :] + xi * ec[7:8, :]))
+    c_re = amp * jnp.cos(psi)
+    c_im = amp * jnp.sin(psi)
 
     f_start = sc_ref[0, 0, 0]
     f_end = sc_ref[0, 0, 1]
@@ -165,13 +165,12 @@ def _kernel_batched(offsets_ref, pc_ref, ec_ref, sc_ref, out_init_ref, out_ref,
     xi = (jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0).astype(f32)) * f32(1.0 / r)
     pc = pc_ref[0, 0]  # (4, g_band)
     psi = pc[0:1, :] + xi * (pc[1:2, :] + xi * (pc[2:3, :] + xi * pc[3:4, :]))
-    c_psi = jnp.cos(psi)
-    s_psi = jnp.sin(psi)
+    # polar envelope: modulus cubic (0:4) + envelope-phase cubic (4:8)
     ec = ec_ref[0, 0]  # (8, g_band)
-    er = ec[0:1, :] + xi * (ec[1:2, :] + xi * (ec[2:3, :] + xi * ec[3:4, :]))
-    ei = ec[4:5, :] + xi * (ec[5:6, :] + xi * (ec[6:7, :] + xi * ec[7:8, :]))
-    c_re = er * c_psi - ei * s_psi
-    c_im = er * s_psi + ei * c_psi
+    amp = ec[0:1, :] + xi * (ec[1:2, :] + xi * (ec[2:3, :] + xi * ec[3:4, :]))
+    psi = psi + ec[4:5, :] + xi * (ec[5:6, :] + xi * (ec[6:7, :] + xi * ec[7:8, :]))
+    c_re = amp * jnp.cos(psi)
+    c_im = amp * jnp.sin(psi)
 
     f_start = sc_ref[0, 0, 0, 0]
     f_end = sc_ref[0, 0, 0, 1]

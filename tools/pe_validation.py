@@ -348,7 +348,7 @@ def main():
     print(json.dumps(report, indent=2))
 
     lines = [
-        "# PE validation run (round 4)",
+        "# PE validation run (round 5)",
         "",
         "Production `cli.emri_pe` configuration at the tutorial scale, run on",
         "the real TPU chip; posterior validated against the Fisher (Cramer-Rao)",
@@ -420,6 +420,45 @@ def main():
         "",
         "Reproduce: `PYTHONPATH=.:/root/.axon_site python tools/pe_validation.py`",
     ]
+
+    # ---- external anchor: the reference's committed GPU chain ----
+    # produced by tools/reference_chain_check.py (round-4 VERDICT item 6);
+    # folded in when its artifact is present so the one document carries
+    # both the in-repo Fisher closure AND the external cross-check.
+    import os
+
+    if os.path.exists("reference_chain_check.json"):
+        with open("reference_chain_check.json") as fh:
+            rc = json.load(fh)
+        lines += [
+            "",
+            "## External cross-check: reference `samples_GPU.npy`",
+            "",
+            "The reference ships its production GPU posterior (5000x7,",
+            "reference `emri_pe.py:420-422`; Tobs=4 yr paper configuration).",
+            "`tools/reference_chain_check.py` compares that chain's marginal",
+            "widths — produced entirely outside this repo (Teukolsky-flux",
+            "trajectory + amplitude data + their sampler) — against OUR",
+            "production stack's Cramer-Rao prediction at the same injection",
+            f"(our SNR {rc['snr_ours']:.1f}, Fisher cond {rc['fisher_cond']:.1e}):",
+            "",
+            "| param | sigma(ref chain) | sigma_Fisher(ours) | ratio |",
+            "|---|---|---|---|",
+        ]
+        for k in rc["width_ratio_ref_over_fisher"]:
+            lines.append(
+                f"| {k} | {rc['sigma_ref_chain'][k]:.3e} | "
+                f"{rc['sigma_fisher_ours'][k]:.3e} | "
+                f"{rc['width_ratio_ref_over_fisher'][k]:.2f} |"
+            )
+        lines += [
+            "",
+            "O(1) intrinsic-parameter ratios say both frameworks assign the",
+            "same information content to the same source; the phase-constant",
+            "rows inherit O(1) response-geometry model differences (tool",
+            "docstring). Reproduce: `PYTHONPATH=.:/root/.axon_site python",
+            "tools/reference_chain_check.py`.",
+        ]
     with open("PE_VALIDATION.md", "w") as fh:
         fh.write("\n".join(lines) + "\n")
     print("wrote PE_VALIDATION.md")
