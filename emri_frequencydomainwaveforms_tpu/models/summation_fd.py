@@ -317,7 +317,9 @@ def fd_mode_sum(
     E = conj(A) F W. Per f-interval between nodes we build a cubic HERMITE
     representation of Psi (values + exact derivatives at both ends; the
     ~20-rad in-interval phase swing is cast to f32 after a mod-2pi shift of
-    the constant term) and a linear representation of E.
+    the constant term) and a linear POLAR representation of E — signed
+    modulus + continuous phase (`_polar_envelope`), the phase added to Psi
+    in the dense pass.
 
     **Level 2 — dense evaluation (f32).** Each output bin locates its node
     interval (scatter+cumsum over the sorted grid, no per-bin binary
@@ -469,6 +471,16 @@ def fd_mode_sum(
         dea_32 = (jnp.roll(e_abs, -1) - e_abs).astype(f32)
         ep0_32 = e_phs.astype(f32)
         dep_32 = (jnp.roll(e_phs, -1) - e_phs).astype(f32)
+        # sanitize the dense-pass tables (parity with the banded kernel's
+        # pc/ec sanitize): a non-finite IN-WINDOW node — e.g. an envelope
+        # that overflows f32 where the TPU's flush-to-zero kills fdot at a
+        # near-fold node — would otherwise poison its two adjacent
+        # intervals through the node diffs, and the where-mask cannot null
+        # NaN afterwards
+        ea0_32, dea_32, ep0_32, dep_32 = (
+            jnp.where(jnp.isfinite(v), v, 0.0)
+            for v in (ea0_32, dea_32, ep0_32, dep_32)
+        )
 
         in_range = (f_pos >= f_start) & (f_pos <= f_end)
 
@@ -613,7 +625,8 @@ def fd_mode_sum_uniform(
       and the f32 envelope E = conj(A) K13-corr/sqrt(fdot) are evaluated in
       closed form. ~20 gathers per NODE (not per bin).
     * **Gather-free dense pass** (f32): within a run, bins evaluate a phase
-      Hermite cubic (exact node derivatives) and a Catmull-Rom envelope by
+      Hermite cubic (exact node derivatives) and a Catmull-Rom POLAR
+      envelope (signed modulus + phase folded into the sin/cos arg) by
       broadcasting per-run coefficients over a (band_runs, bins_per_run)
       workspace — reshapes, no gathers, one sin/cos pair per bin-mode.
     * **Dynamic-window accumulation**: each mode's (band_runs*bins_per_run)
@@ -900,36 +913,59 @@ def _split_hi_lo(x: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 
 def _polar_envelope(e_re, e_im, anchor=None):
-    """Node-wise (modulus, continuous phase) of a complex envelope.
+    """Node-wise (SIGNED modulus, continuous phase) of a complex envelope.
 
-    The phase is a sanitized unwrap along the last (node) axis: each diff
-    is centered into (-pi, pi] and non-finite diffs (garbage out-of-window
-    nodes can carry inf/NaN envelopes) are zeroed so they cannot poison
-    the cumulative sum. Zeroed diffs shift everything PAST them by a
-    non-2pi constant, so the result is re-anchored: the phase at node
-    ``anchor`` (an index into the node axis, broadcast over leading axes;
-    default 0) is restored to its raw atan2 value exactly, which restores
-    every node connected to the anchor through finite diffs to its exact
-    value mod 2pi — for an in-window anchor that is the whole window.
-    Precision: unwrapped in-window swings are the envelope's physical
-    rotation (O(10) rad), so f32 carries them to ~1e-6 rad.
+    Write E_k = s_k e^{i phs_k} with s_k = +-|E_k| and phs continuous
+    along the last (node) axis. Per-node steps of arg E are folded into
+    (-pi/2, pi/2]; each discarded half-turn flips the SIGN of the modulus
+    instead. This matters for (near-)real envelopes crossing zero — the
+    flat-physics amplitudes exactly, the rwz stack's weakly-rotated ones
+    approximately: there consecutive node phases jump by ~pi, and a
+    2pi-centered unwrap must pick the sweep direction (+pi or -pi) by
+    ulp-level rounding of the atan2 inputs — a DEVICE-DEPENDENT branch
+    (measured: 1.5e-3 TPU-vs-CPU divergence of both FD kernels at the
+    bench config) that also draws the interpolated envelope through the
+    flip at full modulus. The signed-modulus form crosses zero like the
+    Cartesian representation (exact for real envelopes), keeps polar's
+    resolution of smooth rotations (steps << pi/2 fold to themselves),
+    and keeps phs BOUNDED by the physical rotation (no pi-per-flip
+    accumulation), so f32 carries it to ~1e-6 rad.
+
+    Non-finite diffs (garbage out-of-window nodes can carry inf/NaN
+    envelopes) are zeroed so they cannot poison the cumulative sums, and
+    the result is re-anchored at node ``anchor`` (default 0): the
+    constant c = phs_a + pi par_a - raw_a — zero in exact arithmetic,
+    arbitrary past zeroed garbage — is subtracted from phs, which
+    restores s_k e^{i phs_k} = E_k exactly (mod 2pi) at every node
+    connected to the anchor through finite diffs; for an in-window
+    anchor that is the whole window.
     """
+    pi_ = math.pi
     e_abs = jnp.sqrt(e_re * e_re + e_im * e_im)
     raw = jnp.arctan2(e_im, e_re)
     d = jnp.diff(raw, axis=-1)
-    d = d - jnp.asarray(_TWO_PI, d.dtype) * jnp.round(d * (1.0 / _TWO_PI))
-    d = jnp.where(jnp.isfinite(d), d, 0.0)
-    start = jnp.where(jnp.isfinite(raw[..., :1]), raw[..., :1], 0.0)
-    phs = jnp.concatenate(
-        [jnp.zeros_like(raw[..., :1]), jnp.cumsum(d, axis=-1)], axis=-1
-    ) + start
-    if anchor is not None:
-        idx = jnp.clip(anchor, 0, raw.shape[-1] - 1)[..., None]
-        raw_a = jnp.take_along_axis(raw, idx, axis=-1)
-        phs_a = jnp.take_along_axis(phs, idx, axis=-1)
-        shift = jnp.where(jnp.isfinite(raw_a), phs_a - raw_a, 0.0)
-        phs = phs - shift
-    return e_abs, phs
+    n = jnp.round(d * (1.0 / pi_))
+    ok = jnp.isfinite(d)
+    d = jnp.where(ok, d - n * pi_, 0.0)
+    n = jnp.where(ok, n, 0.0)
+    zero = jnp.zeros_like(raw[..., :1])
+    phs = jnp.concatenate([zero, jnp.cumsum(d, axis=-1)], axis=-1)
+    par = jnp.concatenate([zero, jnp.cumsum(n, axis=-1)], axis=-1)
+    sign = 1.0 - 2.0 * jnp.mod(par, 2.0)
+    idx_v = anchor if anchor is not None else 0
+    idx = jnp.clip(idx_v, 0, raw.shape[-1] - 1)[..., None] * jnp.ones(
+        raw.shape[:-1] + (1,), jnp.int32
+    )
+    raw_a = jnp.take_along_axis(raw, idx, axis=-1)
+    phs_a = jnp.take_along_axis(phs, idx, axis=-1)
+    par_a = jnp.take_along_axis(par, idx, axis=-1)
+    # pi*par_a enters only mod 2pi; reduce the parity BEFORE multiplying
+    # by pi (par_a mod 2 is exact in f32, pi*par_a at par_a ~ 1e3 is not)
+    # so c — and with it every returned phase — stays rotation-sized
+    c = jnp.where(
+        jnp.isfinite(raw_a), phs_a + pi_ * jnp.mod(par_a, 2.0) - raw_a, 0.0
+    )
+    return sign * e_abs, phs - c
 
 
 def _level1_uniform_tables(

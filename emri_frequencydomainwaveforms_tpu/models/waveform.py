@@ -185,6 +185,7 @@ def fd_waveform_core(
     scan_unroll: int = 1,
     slot_unroll: bool | None = None,
     out_f32: bool = False,
+    nodes_per_segment: int = 32,
 ):
     """FD waveform on positive frequencies.
 
@@ -275,7 +276,8 @@ def fd_waveform_core(
         )
     else:
         o1r, o1i, o2r, o2i = fd_mode_sum(
-            inp, f_pos, turnover_slots=turnover_slots,
+            inp, f_pos, nodes_per_segment=nodes_per_segment,
+            turnover_slots=turnover_slots,
             negative_slots=negative_slots,
         )
     return o1r, o1i, o2r, o2i

@@ -24,7 +24,7 @@ Layout:
   grid = (n_modes,)
   scalar-prefetch: offsets (n_modes,) int32 — window start RUN (128-aligned)
   inputs:  phase coeffs (n_modes, 4, g_band) f32   [p0 (mod 2pi), p1, p2, p3]
-           envelope coeffs (n_modes, 8, g_band) f32 [er0..er3, ei0..ei3]
+           envelope coeffs (n_modes, 8, g_band) f32 [signed-modulus cubic 0:4, envelope-phase cubic 4:8]
            per-mode scalars (n_modes, 8) f32 [f_start, f_end, live,
                                               w1r, w1i, w2r, w2i, pad]
            out_init (4, r, G_pad) f32 — aliased to the output (zeros in)
